@@ -1,0 +1,20 @@
+"""MCD UDA training entry point (reference: adapt_trainer.py).
+
+    python -m mcseg_tpu.cli.adapt_train suncg nyu --input_ch 6 --num_k 4 ...
+"""
+
+from mcseg_tpu.cli.argparse_compat import args_to_config, get_da_mcd_training_parser
+from mcseg_tpu.train.loops import train_adapt
+from mcseg_tpu.utils.util import mkdir_if_not_exist, save_dic_to_json
+
+
+def main(argv=None):
+    args = get_da_mcd_training_parser().parse_args(argv)
+    cfg = args_to_config(args, adapt=True)
+    mkdir_if_not_exist(cfg.train.out_dir)
+    save_dic_to_json(cfg.to_dict(), f"{cfg.train.out_dir}/args.json")
+    train_adapt(cfg)
+
+
+if __name__ == "__main__":
+    main()

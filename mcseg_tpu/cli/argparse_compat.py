@@ -1,0 +1,155 @@
+"""Reference-compatible argparse front-end.
+
+Counterpart of the reference's ``argmyparse.py`` (SURVEY.md sections 2, 5):
+one parser per entry point exposing the SAME flag names (``--net``,
+``--input_ch``, ``--num_k``, ``--lr``, ``--opt``, ``--train_img_shape``,
+``--res`` ... and src/tgt positionals) so reference command lines translate
+1:1, plus post-parse fixups (``fix_img_shape_args``-style) and conversion to
+the frozen ExperimentConfig dataclasses.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Sequence
+
+from mcseg_tpu.core.config import DataConfig, ExperimentConfig, ModelConfig, TrainConfig
+
+
+def _add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--net", default="drn_d_38",
+                   help="drn_d_22|38|54|105, drn_c_26|42, fcn8s_vgg16")
+    p.add_argument("--input_ch", type=int, default=3, choices=[1, 3, 4, 6])
+    p.add_argument("--n_class", type=int, default=None,
+                   help="default: label space of the (target) dataset")
+    p.add_argument("--fusion", default="single", choices=["single", "early", "late"])
+    p.add_argument("--uses_one_classifier", action="store_true")
+    p.add_argument("--upsample", default="resize", choices=["resize", "convt"])
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+
+
+def _add_train_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--opt", default="sgd", choices=["sgd", "adam"])
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=2e-5)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr_schedule", default="poly", choices=["poly", "constant", "step"])
+    p.add_argument("--max_steps", type=int, default=50_000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", default="", help="checkpoint prefix to resume from")
+    p.add_argument("--out_dir", default="./runs/run0")
+    p.add_argument("--log_every", type=int, default=50)
+
+
+def _add_data_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data_root", default="./data")
+    p.add_argument("--train_img_shape", type=int, nargs=2, default=[640, 480],
+                   metavar=("W", "H"))
+    p.add_argument("--test_img_shape", type=int, nargs=2, default=None,
+                   metavar=("W", "H"))
+    p.add_argument("--split", default="train")
+    p.add_argument("--max_samples", type=int, default=None,
+                   help="mini-split truncation (smoke tests)")
+    p.add_argument("--no_random_flip", action="store_true")
+    p.add_argument("--no_random_crop", action="store_true")
+
+
+def fix_img_shape_args(shape: Sequence[int]) -> tuple:
+    """Round (W, H) up to multiples of 8 — output-stride-8 trunks need it and
+    static-shape XLA wants it decided up front (the reference's
+    fix_img_shape_args played the same role [?])."""
+    w, h = shape
+    rnd = lambda v: ((v + 7) // 8) * 8
+    return (rnd(w), rnd(h))
+
+
+def get_src_only_training_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("source_train",
+                                description="Supervised source-only training")
+    p.add_argument("src_dataset", help="suncg|gta5|nyu|city|synthetic")
+    _add_model_args(p)
+    _add_train_args(p)
+    _add_data_args(p)
+    return p
+
+
+def get_da_mcd_training_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("adapt_train", description="MCD UDA training")
+    p.add_argument("src_dataset")
+    p.add_argument("tgt_dataset")
+    p.add_argument("--num_k", type=int, default=4,
+                   help="generator (step C) updates per iteration")
+    p.add_argument("--d_loss", default="diff", choices=["diff", "symkl"])
+    _add_model_args(p)
+    _add_train_args(p)
+    _add_data_args(p)
+    return p
+
+
+def get_testing_parser(name: str = "test") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(name, description="Evaluate a checkpoint")
+    p.add_argument("checkpoint", help="checkpoint prefix (without .msgpack)")
+    p.add_argument("tgt_dataset", nargs="?", default=None,
+                   help="default: target dataset from the checkpoint config")
+    p.add_argument("--split", default="val")
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--test_img_shape", type=int, nargs=2, default=None)
+    p.add_argument("--outdir", default=None, help="dump label+color PNGs here")
+    p.add_argument("--saves_prob", action="store_true",
+                   help="also dump softmax probability maps (.npy)")
+    p.add_argument("--use_f2", action="store_true",
+                   help="average F1 and F2 outputs (adapt_tester default)")
+    p.add_argument("--max_samples", type=int, default=None)
+    return p
+
+
+def args_to_config(args: argparse.Namespace, adapt: bool) -> ExperimentConfig:
+    from mcseg_tpu.data.labels import get_label_spec
+
+    tgt = getattr(args, "tgt_dataset", None) or args.src_dataset
+    n_class = args.n_class or get_label_spec(tgt)[0]
+    train_shape = fix_img_shape_args(args.train_img_shape)
+    test_shape = fix_img_shape_args(args.test_img_shape or args.train_img_shape)
+    model = ModelConfig(
+        net=args.net,
+        input_ch=args.input_ch,
+        n_class=n_class,
+        method="MCD" if adapt else "source",
+        fusion=args.fusion,
+        uses_one_classifier=args.uses_one_classifier,
+        dtype=args.dtype,
+        upsample=args.upsample,
+    )
+    data = DataConfig(
+        src_dataset=args.src_dataset,
+        tgt_dataset=tgt,
+        split=args.split,
+        data_root=args.data_root,
+        batch_size=args.batch_size,
+        train_img_shape=train_shape,
+        test_img_shape=test_shape,
+        input_ch=args.input_ch,
+        n_class=n_class,
+        random_flip=not args.no_random_flip,
+        random_crop=not args.no_random_crop,
+        max_samples=args.max_samples,
+    )
+    train = TrainConfig(
+        opt=args.opt,
+        lr=args.lr,
+        momentum=args.momentum,
+        weight_decay=args.weight_decay,
+        epochs=args.epochs,
+        num_k=getattr(args, "num_k", 4),
+        d_loss=getattr(args, "d_loss", "diff"),
+        lr_schedule=args.lr_schedule,
+        max_steps=args.max_steps,
+        seed=args.seed,
+        resume=args.resume,
+        out_dir=args.out_dir,
+        log_every=args.log_every,
+    )
+    return ExperimentConfig(model=model, data=data, train=train)

@@ -1,0 +1,20 @@
+"""Source-only training entry point (reference: source_trainer.py).
+
+    python -m mcseg_tpu.cli.source_train nyu --input_ch 6 --net drn_d_38 ...
+"""
+
+from mcseg_tpu.cli.argparse_compat import args_to_config, get_src_only_training_parser
+from mcseg_tpu.train.loops import train_source
+from mcseg_tpu.utils.util import mkdir_if_not_exist, save_dic_to_json
+
+
+def main(argv=None):
+    args = get_src_only_training_parser().parse_args(argv)
+    cfg = args_to_config(args, adapt=False)
+    mkdir_if_not_exist(cfg.train.out_dir)
+    save_dic_to_json(cfg.to_dict(), f"{cfg.train.out_dir}/args.json")
+    train_source(cfg)
+
+
+if __name__ == "__main__":
+    main()

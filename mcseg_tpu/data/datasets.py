@@ -1,0 +1,278 @@
+"""Dataset layer.
+
+Counterpart of the reference's ``datasets.py`` (SURVEY.md sections 2, 3.4):
+per-corpus dataset classes (GTA5, Cityscapes, NYUDv2, SUNCG) built on
+file lists, a ``get_dataset(name, split, ...)`` factory, and ``ZipDataset`` —
+the reference's ``ConcatDataset`` that zips a (source, target) pair with
+``len = min(lens)``.
+
+TPU-first contract: ``__getitem__`` returns RAW decoded arrays at a fixed
+canonical size — uint8 RGB [H,W,3], uint8 raw label [H,W], and (when the
+corpus has depth) float32 depth in meters [H,W]. All geometry, normalization,
+label remapping, and HHA encoding happen ON DEVICE in the fused preprocessing
+step (mcseg_tpu.ops); host workers only decode files. A host-side
+reference-parity path lives in transforms.py.
+
+Directory conventions (documented here because the reference's own layouts
+were unverifiable — SURVEY.md section 0):
+  cityscapes: <root>/leftImg8bit/<split>/<city>/*_leftImg8bit.png
+              <root>/gtFine/<split>/<city>/*_gtFine_labelIds.png
+  gta5:       <root>/images/*.png + <root>/labels/*.png
+  nyu:        <root>/<split>_rgb/*.png + <root>/<split>_label/*.png
+              [+ <split>_depth/*.png (16-bit, mm) or <split>_hha/*.png]
+  suncg:      same convention as nyu
+  synthetic:  procedurally generated (no disk) — mini-split smoke tests &
+              benchmarks; deterministic per index.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from mcseg_tpu.core.config import DataConfig
+from mcseg_tpu.data.labels import get_label_spec
+
+
+class SegDataset:
+    """Base: file-list dataset returning raw decoded samples."""
+
+    #: canonical decode size (W, H); fixed so batches stack with static shapes
+    decode_size = (640, 480)
+    has_depth = False
+
+    def __init__(self, cfg: DataConfig, split: str = "train"):
+        self.cfg = cfg
+        self.split = split
+        self.n_class, self.remap_table, self.names, self.palette = get_label_spec(
+            self.corpus
+        )
+        self.samples = self._index(cfg.data_root, split)
+        if cfg.max_samples:
+            self.samples = self.samples[: cfg.max_samples]
+        if not self.samples:
+            raise FileNotFoundError(
+                f"{type(self).__name__}: no samples under {cfg.data_root!r} "
+                f"(split={split!r}) — check the directory layout in datasets.py"
+            )
+
+    # -- per-corpus hooks -------------------------------------------------
+    corpus = "nyu"
+
+    def _index(self, root: str, split: str) -> List[Dict[str, str]]:
+        raise NotImplementedError
+
+    # ----------------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def _decode_rgb(self, path: str) -> np.ndarray:
+        img = Image.open(path).convert("RGB")
+        if img.size != self.decode_size:
+            img = img.resize(self.decode_size, Image.BILINEAR)
+        return np.asarray(img, np.uint8)
+
+    def _decode_label(self, path: str) -> np.ndarray:
+        lbl = Image.open(path)
+        if lbl.size != self.decode_size:
+            lbl = lbl.resize(self.decode_size, Image.NEAREST)
+        return np.asarray(lbl, np.uint8)
+
+    def _decode_depth(self, path: str) -> np.ndarray:
+        d = Image.open(path)
+        if d.size != self.decode_size:
+            d = d.resize(self.decode_size, Image.NEAREST)
+        arr = np.asarray(d).astype(np.float32)
+        if arr.dtype != np.float32 or arr.max() > 256:  # 16-bit PNG in mm
+            arr = arr / 1000.0
+        return arr
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        s = self.samples[i]
+        out: Dict[str, np.ndarray] = {
+            "image": self._decode_rgb(s["rgb"]),
+            "label": self._decode_label(s["label"]) if s.get("label") else
+                     np.full(self.decode_size[::-1], 255, np.uint8),
+        }
+        if "hha" in s:
+            out["hha"] = self._decode_rgb(s["hha"])
+        if "depth" in s:
+            out["depth"] = self._decode_depth(s["depth"])
+        return out
+
+
+class CityscapesDataset(SegDataset):
+    corpus = "city"
+    decode_size = (1024, 512)
+
+    def _index(self, root: str, split: str):
+        imgs = sorted(
+            glob.glob(os.path.join(root, "leftImg8bit", split, "*", "*_leftImg8bit.png"))
+        )
+        out = []
+        for p in imgs:
+            lbl = p.replace("leftImg8bit" + os.sep, "gtFine" + os.sep, 1).replace(
+                os.sep + "leftImg8bit" + os.sep, os.sep + "gtFine" + os.sep
+            ).replace("_leftImg8bit.png", "_gtFine_labelIds.png")
+            lbl = os.path.join(
+                root, "gtFine", split,
+                os.path.basename(os.path.dirname(p)),
+                os.path.basename(p).replace("_leftImg8bit.png", "_gtFine_labelIds.png"),
+            )
+            out.append({"rgb": p, "label": lbl if os.path.exists(lbl) else None})
+        return out
+
+
+class GTA5Dataset(SegDataset):
+    corpus = "gta5"
+    decode_size = (1024, 512)
+
+    def _index(self, root: str, split: str):
+        imgs = sorted(glob.glob(os.path.join(root, "images", "*.png")))
+        return [
+            {"rgb": p, "label": os.path.join(root, "labels", os.path.basename(p))}
+            for p in imgs
+        ]
+
+
+class _RgbDepthLabelDataset(SegDataset):
+    """nyu/suncg shared layout: <split>_rgb / <split>_label / optional
+    <split>_depth / <split>_hha directories with matching basenames."""
+
+    has_depth = True
+
+    def _index(self, root: str, split: str):
+        rgb_dir = os.path.join(root, f"{split}_rgb")
+        imgs = sorted(glob.glob(os.path.join(rgb_dir, "*")))
+        out = []
+        for p in imgs:
+            base = os.path.basename(p)
+            stem = os.path.splitext(base)[0]
+            sample = {"rgb": p}
+            lbl = self._find(root, f"{split}_label", stem)
+            if lbl:
+                sample["label"] = lbl
+            for key in ("depth", "hha"):
+                q = self._find(root, f"{split}_{key}", stem)
+                if q:
+                    sample[key] = q
+            out.append(sample)
+        return out
+
+    @staticmethod
+    def _find(root: str, sub: str, stem: str) -> Optional[str]:
+        for ext in (".png", ".jpg", ".mat.png", ".tif"):
+            q = os.path.join(root, sub, stem + ext)
+            if os.path.exists(q):
+                return q
+        return None
+
+
+class NYUDv2Dataset(_RgbDepthLabelDataset):
+    corpus = "nyu"
+    decode_size = (640, 480)
+
+
+class SUNCGDataset(_RgbDepthLabelDataset):
+    corpus = "suncg"
+    decode_size = (640, 480)
+
+
+class SyntheticDataset(SegDataset):
+    """Procedural RGB-D segmentation data — deterministic per (seed, index).
+
+    Scene model: a handful of depth-stacked axis-aligned rectangles over a
+    floor plane; class identity determines both color (plus noise) and depth,
+    so segmentation from RGB-D is genuinely learnable. Used for the CPU
+    smoke-test config (BASELINE config 1 'mini split') and benchmarks.
+    """
+
+    corpus = "synthetic"
+    decode_size = (640, 480)
+    has_depth = True
+
+    def __init__(self, cfg: DataConfig, split: str = "train", seed: int = 0,
+                 length: int = 64, n_class: Optional[int] = None):
+        self.cfg = cfg
+        self.split = split
+        self.length = cfg.max_samples or length
+        self.n_class, self.remap_table, self.names, self.palette = get_label_spec("nyu")
+        if n_class is not None:
+            self.n_class = n_class
+        self.seed = seed + (0 if split == "train" else 10_000)
+        if cfg.test_img_shape and split != "train":
+            self.decode_size = tuple(cfg.test_img_shape)
+        elif cfg.train_img_shape:
+            self.decode_size = tuple(cfg.train_img_shape)
+
+    def _index(self, root, split):  # pragma: no cover - not used
+        return []
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(self.seed * 100_003 + i)
+        w, h = self.decode_size
+        n_cls = min(self.n_class, 12)
+        label_raw = np.ones((h, w), np.uint8)  # raw class 1 = background/floor
+        depth = np.full((h, w), 4.0, np.float32)
+        # floor gradient: nearer at the bottom
+        depth += np.linspace(1.0, -1.5, h)[:, None]
+        for _ in range(rng.randint(4, 9)):
+            cls = rng.randint(1, n_cls + 1)
+            bw, bh = rng.randint(w // 8, w // 2), rng.randint(h // 8, h // 2)
+            x0, y0 = rng.randint(0, w - bw), rng.randint(0, h - bh)
+            z = rng.uniform(0.8, 3.5)
+            region = depth[y0 : y0 + bh, x0 : x0 + bw]
+            mask = region > z  # only paint where the box is nearer
+            region[mask] = z
+            label_raw[y0 : y0 + bh, x0 : x0 + bw][mask] = cls
+        # color = class-dependent base + noise
+        base = (np.arange(1, n_cls + 2)[:, None] * np.array([[53, 101, 197]])) % 255
+        img = base[label_raw].astype(np.float32)
+        img += rng.randn(h, w, 3) * 12.0
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        # a few void pixels
+        void = rng.rand(h, w) < 0.01
+        label_raw[void] = 0
+        return {"image": img, "label": label_raw, "depth": depth}
+
+
+_CORPORA = {
+    "city": CityscapesDataset,
+    "cityscapes": CityscapesDataset,
+    "gta": GTA5Dataset,
+    "gta5": GTA5Dataset,
+    "nyu": NYUDv2Dataset,
+    "nyudv2": NYUDv2Dataset,
+    "suncg": SUNCGDataset,
+    "synthetic": SyntheticDataset,
+}
+
+
+def get_dataset(name: str, cfg: DataConfig, split: str = "train") -> SegDataset:
+    """Factory — the reference's ``datasets.get_dataset`` surface."""
+    key = name.lower()
+    if key not in _CORPORA:
+        raise ValueError(f"unknown dataset {name!r}; options: {sorted(set(_CORPORA))}")
+    return _CORPORA[key](cfg, split)
+
+
+class ZipDataset:
+    """Pair a source and a target dataset — the reference's ConcatDataset
+    zipping with ``len = min(lens)`` (SURVEY.md section 2)."""
+
+    def __init__(self, source: SegDataset, target: SegDataset):
+        self.source = source
+        self.target = target
+
+    def __len__(self) -> int:
+        return min(len(self.source), len(self.target))
+
+    def __getitem__(self, i: int):
+        return self.source[i], self.target[i]

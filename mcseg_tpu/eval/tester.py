@@ -1,0 +1,99 @@
+"""Evaluation loop — counterpart of the reference's source_tester.py /
+adapt_tester.py (SURVEY.md sections 3.3, 3.5).
+
+Flow per batch (all on device, one jit program): eval preprocess -> G ->
+F1 (and F2, averaged, for adapted checkpoints) -> bilinear resize of logits to
+the native label resolution -> argmax -> fast-hist accumulation. Only the
+final [n,n] confusion matrix and (optionally) predictions for PNG dumps reach
+the host. The model is rebuilt from the config embedded in the checkpoint —
+the reference's args->get_models round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcseg_tpu.core.config import ExperimentConfig
+from mcseg_tpu.data.datasets import get_dataset
+from mcseg_tpu.data.labels import get_label_spec
+from mcseg_tpu.data.pipeline import batch_iterator
+from mcseg_tpu.eval.metrics import fast_hist, format_iou_table, miou_from_hist
+from mcseg_tpu.models.factory import get_models
+from mcseg_tpu.ops.preprocess import make_eval_preprocess
+from mcseg_tpu.train.apply import apply_classifier, apply_generator
+from mcseg_tpu.utils.util import mkdir_if_not_exist
+
+
+def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True):
+    """Build the jit'd (params, batch_stats, raw_batch) -> (hist, preds) step."""
+    g, f1, f2 = get_models(cfg.model)
+    pp = make_eval_preprocess(cfg.data)
+    n_class = cfg.model.n_class
+
+    @jax.jit
+    def eval_step(params, batch_stats, raw_batch):
+        img, label = pp(raw_batch)
+        feat, _ = apply_generator(g, params["G"], batch_stats["G"], img, False)
+        logits = apply_classifier(f1, params["F1"], feat, False)
+        if average_classifiers:
+            logits2 = apply_classifier(f2, params["F2"], feat, False)
+            logits = 0.5 * (logits + logits2)
+        b, lh, lw = label.shape
+        logits = jax.image.resize(
+            logits, (b, lh, lw, logits.shape[-1]), method="bilinear"
+        )
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        hist = fast_hist(label, pred, n_class)
+        return hist, pred
+
+    return eval_step
+
+
+def evaluate(
+    state_or_params,
+    cfg: ExperimentConfig,
+    dataset=None,
+    average_classifiers: bool = True,
+    save_dir: Optional[str] = None,
+    max_batches: Optional[int] = None,
+    print_table: bool = True,
+):
+    """Run evaluation; returns (miou, hist, table_str)."""
+    if hasattr(state_or_params, "params"):
+        params, batch_stats = state_or_params.params, state_or_params.batch_stats
+    else:
+        params, batch_stats = state_or_params
+    dataset = dataset or get_dataset(cfg.data.tgt_dataset, cfg.data, "val")
+    _, _, names, palette = get_label_spec(cfg.data.tgt_dataset)
+    step = make_eval_step(cfg, average_classifiers)
+
+    n_class = cfg.model.n_class
+    total = jnp.zeros((n_class, n_class), jnp.int32)
+    bs = min(cfg.data.batch_size, len(dataset))
+    for bi, raw in enumerate(
+        batch_iterator(dataset, bs, shuffle=False, drop_last=True, epochs=1)
+    ):
+        if max_batches is not None and bi >= max_batches:
+            break
+        hist, pred = step(params, batch_stats, raw)
+        total = total + hist
+        if save_dir:
+            from mcseg_tpu.data.transforms import save_color_png, save_label_png
+
+            mkdir_if_not_exist(save_dir)
+            pred_np = np.asarray(pred)
+            for k in range(pred_np.shape[0]):
+                idx = bi * bs + k
+                save_label_png(pred_np[k], os.path.join(save_dir, f"{idx:06d}_label.png"))
+                save_color_png(pred_np[k], palette, os.path.join(save_dir, f"{idx:06d}_color.png"))
+
+    total = np.asarray(jax.device_get(total))
+    table = format_iou_table(total, names[: n_class])
+    if print_table:
+        print(table)
+    return miou_from_hist(total), total, table

@@ -1,0 +1,58 @@
+"""Segmentation losses.
+
+Counterpart of the reference's ``loss.py`` (SURVEY.md section 2):
+``CrossEntropyLoss2d`` = log_softmax + 2-D NLL with ``ignore_index``. In JAX
+the ignore-index semantics become a where-mask: ignored pixels contribute 0 to
+the sum and are excluded from the normalizer — exactly torch's
+``ignore_index`` + mean reduction.
+
+Everything here is shape-static and fuses into the surrounding train step;
+logits arrive fp32 (heads cast up) so log_softmax is numerically safe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+IGNORE_INDEX = 255
+
+
+def cross_entropy_2d(
+    logits: jnp.ndarray,  # [B, H, W, C] float
+    labels: jnp.ndarray,  # [B, H, W] int
+    ignore_index: int = IGNORE_INDEX,
+) -> jnp.ndarray:
+    """Masked mean cross-entropy over valid pixels (torch CrossEntropyLoss2d
+    with ignore_index parity)."""
+    n_class = logits.shape[-1]
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # Gather the log-prob of the target class: one-hot dot is MXU/VPU friendly
+    # and avoids a per-pixel gather.
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    denom = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / denom.astype(jnp.float32)
+
+
+def berhu_loss(
+    pred: jnp.ndarray,  # [B, H, W, 1] predicted (log-)depth
+    target: jnp.ndarray,  # [B, H, W] or [B, H, W, 1]
+    valid_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Reverse-Huber (berHu) loss for the auxiliary depth-estimation task of
+    the multitask fusion variant [P arXiv:1812.04351]. c = max|err|/5."""
+    if target.ndim == pred.ndim - 1:
+        target = target[..., None]
+    err = pred - target
+    if valid_mask is None:
+        valid_mask = jnp.isfinite(target) & (target > 0)
+    err = jnp.where(valid_mask, err, 0.0)
+    abs_err = jnp.abs(err)
+    c = jnp.maximum(abs_err.max() / 5.0, 1e-6)
+    quad = (err * err + c * c) / (2.0 * c)
+    loss = jnp.where(abs_err <= c, abs_err, quad)
+    denom = jnp.maximum(valid_mask.sum(), 1)
+    return loss.sum() / denom.astype(jnp.float32)

@@ -1,0 +1,287 @@
+"""Dilated Residual Networks (DRN) — TPU-native Flax implementation.
+
+The reference vendors fyu/drn as ``models/drn.py`` (SURVEY.md section 2) and
+uses it as the shared feature generator G with output stride 8. This is a
+from-scratch NHWC Flax implementation of the architectures described in
+*Dilated Residual Networks* (Yu, Koltun, Funkhouser, CVPR 2017,
+arXiv:1705.09914):
+
+  * levels 1-2: plain conv stages (arch D) or residual stages (arch C)
+  * levels 3-4: residual blocks with stride 2
+  * levels 5-6: stride replaced by dilation 2 / 4  ->  output stride stays 8
+  * levels 7-8: degridding stages with decreasing dilation (2, then 1),
+    non-residual (both archs; arch C uses residual-free BasicBlocks, arch D
+    plain conv stages)
+
+Variants and depths (paper Table 1 + fyu/drn model zoo, reconstructed [R]):
+  drn_d_22 : BasicBlock [1,1,2,2,2,2,1,1]
+  drn_d_38 : BasicBlock [1,1,3,4,6,3,1,1]   (the reference's default --net)
+  drn_d_54 : Bottleneck [1,1,3,4,6,3,1,1]
+  drn_d_105: Bottleneck [1,1,3,4,23,3,1,1]
+  drn_c_26 : BasicBlock [1,1,2,2,2,2,1,1]
+  drn_c_42 : BasicBlock [1,1,3,4,6,3,1,1]
+
+TPU-first choices (NOT in the reference):
+  * NHWC layout end-to-end — the native conv layout for XLA:TPU.
+  * Activations/matmuls in bf16 (``dtype``), parameters + BatchNorm statistics
+    in fp32 — MXU-friendly without numerics drift.
+  * All shapes static; the whole trunk is one XLA fusion region under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+# BatchNorm semantics matched to the reference's torch defaults:
+# torch BatchNorm2d(momentum=0.1, eps=1e-5)  ==  flax BatchNorm(momentum=0.9).
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+def _conv(
+    features: int,
+    kernel: int,
+    stride: int = 1,
+    dilation: int = 1,
+    name: str | None = None,
+    dtype=jnp.float32,
+) -> nn.Conv:
+    """3x3/7x7/1x1 conv, SAME padding scaled by dilation, no bias (BN follows)."""
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        kernel_dilation=(dilation, dilation),
+        padding="SAME",
+        use_bias=False,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def _bn(train: bool, name: str | None = None, dtype=jnp.float32) -> nn.BatchNorm:
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=BN_MOMENTUM,
+        epsilon=BN_EPS,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class ConvStage(nn.Module):
+    """Non-residual conv stage: n x (conv3x3 -> BN -> ReLU).
+
+    Used for levels 1-2 and the degridding levels 7-8 of arch D.
+    """
+
+    features: int
+    n_layers: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n_layers):
+            s = self.stride if i == 0 else 1
+            x = _conv(self.features, 3, s, self.dilation, dtype=self.dtype, name=f"conv{i}")(x)
+            x = _bn(train, dtype=self.dtype, name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs with a (possibly distinct) dilation each + identity skip."""
+
+    expansion = 1
+
+    features: int
+    stride: int = 1
+    dilation: Tuple[int, int] = (1, 1)
+    residual: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        needs_proj = self.stride != 1 or x.shape[-1] != self.features
+        identity = x
+        y = _conv(self.features, 3, self.stride, self.dilation[0], dtype=self.dtype, name="conv1")(x)
+        y = _bn(train, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = _conv(self.features, 3, 1, self.dilation[1], dtype=self.dtype, name="conv2")(y)
+        y = _bn(train, dtype=self.dtype, name="bn2")(y)
+        if self.residual:
+            if needs_proj:
+                identity = _conv(self.features, 1, self.stride, dtype=self.dtype, name="proj_conv")(x)
+                identity = _bn(train, dtype=self.dtype, name="proj_bn")(identity)
+            y = y + identity
+        return nn.relu(y)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(dilated) -> 1x1(x4) with identity skip."""
+
+    expansion = 4
+
+    features: int  # bottleneck width; output is features * 4
+    stride: int = 1
+    dilation: Tuple[int, int] = (1, 1)
+    residual: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_features = self.features * self.expansion
+        needs_proj = self.stride != 1 or x.shape[-1] != out_features
+        identity = x
+        y = _conv(self.features, 1, dtype=self.dtype, name="conv1")(x)
+        y = _bn(train, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = _conv(self.features, 3, self.stride, self.dilation[1], dtype=self.dtype, name="conv2")(y)
+        y = _bn(train, dtype=self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = _conv(out_features, 1, dtype=self.dtype, name="conv3")(y)
+        y = _bn(train, dtype=self.dtype, name="bn3")(y)
+        if self.residual:
+            if needs_proj:
+                identity = _conv(out_features, 1, self.stride, dtype=self.dtype, name="proj_conv")(x)
+                identity = _bn(train, dtype=self.dtype, name="proj_bn")(identity)
+            y = y + identity
+        return nn.relu(y)
+
+
+class ResStage(nn.Module):
+    """A level of residual blocks.
+
+    Dilation rule (DRN paper section 4): when a level first enters a dilation
+    regime via ``new_level=True``, the first conv of the first block uses half
+    the level's dilation to ramp up smoothly; levels 5-6 use
+    ``new_level=False`` (full dilation from the first block).
+    """
+
+    block: ModuleDef
+    features: int
+    n_blocks: int
+    stride: int = 1
+    dilation: int = 1
+    new_level: bool = True
+    residual: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.dilation == 1:
+            first_dil = (1, 1)
+        else:
+            first_dil = (
+                self.dilation // 2 if self.new_level else self.dilation,
+                self.dilation,
+            )
+        x = self.block(
+            features=self.features,
+            stride=self.stride,
+            dilation=first_dil,
+            residual=self.residual,
+            dtype=self.dtype,
+            name="block0",
+        )(x, train)
+        for i in range(1, self.n_blocks):
+            x = self.block(
+                features=self.features,
+                dilation=(self.dilation, self.dilation),
+                residual=self.residual,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, train)
+        return x
+
+
+class DRN(nn.Module):
+    """Dilated Residual Network trunk, output stride 8.
+
+    Input : NHWC float, ``input_ch`` channels (1/3/4/6 — the multichannel
+            widening of the reference's ``model_util.get_models``).
+    Output: NHWC feature map [B, H/8, W/8, out_dim].
+    """
+
+    arch: str  # 'C' | 'D'
+    block: ModuleDef
+    layers: Sequence[int]
+    channels: Sequence[int] = (16, 32, 64, 128, 256, 512, 512, 512)
+    input_ch: int = 3
+    dtype: Any = jnp.float32
+
+    @property
+    def out_dim(self) -> int:
+        return self.channels[-1]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ch, L = self.channels, self.layers
+        x = x.astype(self.dtype)
+        # level 0: 7x7 stem
+        x = _conv(ch[0], 7, 1, dtype=self.dtype, name="conv0")(x)
+        x = _bn(train, dtype=self.dtype, name="bn0")(x)
+        x = nn.relu(x)
+        # levels 1-2
+        if self.arch == "C":
+            x = ResStage(self.block, ch[0], L[0], stride=1, dtype=self.dtype, name="layer1")(x, train)
+            x = ResStage(self.block, ch[1], L[1], stride=2, dtype=self.dtype, name="layer2")(x, train)
+        else:  # arch D
+            x = ConvStage(ch[0], L[0], stride=1, dtype=self.dtype, name="layer1")(x, train)
+            x = ConvStage(ch[1], L[1], stride=2, dtype=self.dtype, name="layer2")(x, train)
+        # levels 3-4: strided residual
+        x = ResStage(self.block, ch[2], L[2], stride=2, dtype=self.dtype, name="layer3")(x, train)
+        x = ResStage(self.block, ch[3], L[3], stride=2, dtype=self.dtype, name="layer4")(x, train)
+        # levels 5-6: dilation instead of stride
+        x = ResStage(self.block, ch[4], L[4], dilation=2, new_level=False, dtype=self.dtype, name="layer5")(x, train)
+        x = ResStage(self.block, ch[5], L[5], dilation=4, new_level=False, dtype=self.dtype, name="layer6")(x, train)
+        # levels 7-8: degridding
+        if self.arch == "C":
+            x = ResStage(
+                BasicBlock, ch[6], L[6], dilation=2, new_level=False,
+                residual=False, dtype=self.dtype, name="layer7",
+            )(x, train)
+            x = ResStage(
+                BasicBlock, ch[7], L[7], dilation=1, new_level=False,
+                residual=False, dtype=self.dtype, name="layer8",
+            )(x, train)
+        else:
+            x = ConvStage(ch[6], L[6], dilation=2, dtype=self.dtype, name="layer7")(x, train)
+            x = ConvStage(ch[7], L[7], dilation=1, dtype=self.dtype, name="layer8")(x, train)
+        return x
+
+
+_DRN_ZOO = {
+    "drn_d_22": dict(arch="D", block=BasicBlock, layers=(1, 1, 2, 2, 2, 2, 1, 1)),
+    "drn_d_38": dict(arch="D", block=BasicBlock, layers=(1, 1, 3, 4, 6, 3, 1, 1)),
+    "drn_d_54": dict(arch="D", block=Bottleneck, layers=(1, 1, 3, 4, 6, 3, 1, 1)),
+    "drn_d_105": dict(arch="D", block=Bottleneck, layers=(1, 1, 3, 4, 23, 3, 1, 1)),
+    "drn_c_26": dict(arch="C", block=BasicBlock, layers=(1, 1, 2, 2, 2, 2, 1, 1)),
+    "drn_c_42": dict(arch="C", block=BasicBlock, layers=(1, 1, 3, 4, 6, 3, 1, 1)),
+}
+
+
+def drn_variants() -> Tuple[str, ...]:
+    return tuple(_DRN_ZOO)
+
+
+def build_drn(net: str, input_ch: int = 3, dtype=jnp.float32) -> DRN:
+    if net not in _DRN_ZOO:
+        raise ValueError(f"unknown DRN variant {net!r}; options: {sorted(_DRN_ZOO)}")
+    spec = _DRN_ZOO[net]
+    return DRN(
+        arch=spec["arch"],
+        block=spec["block"],
+        layers=spec["layers"],
+        input_ch=input_ch,
+        dtype=dtype,
+    )

@@ -1,0 +1,122 @@
+"""Pixel-classifier heads (the "F" networks) and upsampling.
+
+The reference splits every network into a feature generator G and pixel
+classifiers F1/F2 (SURVEY.md section 2, ``models/dilated_fcn.py``): F is a 1x1
+conv to ``n_class`` at output-stride 8 followed by a fixed-weight bilinear 8x
+transposed conv (``fill_up_weights`` init).
+
+TPU-native approach: do the 1x1 conv (an MXU matmul over the channel dim) at
+the /8 resolution and upsample the *logits* with ``jax.image.resize`` — XLA
+lowers this to efficient gathers/adds, and no transposed-conv scatter is
+needed. A ``'convt'`` mode reproduces the reference's exact fixed-bilinear
+transposed conv (as lhs-dilated depthwise conv) for bit-parity tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bilinear_kernel(kernel_size: int, dtype=np.float32) -> np.ndarray:
+    """Fixed 2-D bilinear interpolation kernel, the classic FCN
+    ``fill_up_weights`` construction (one [k,k] tap pattern)."""
+    f = int(np.ceil(kernel_size / 2.0))
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
+    og = np.ogrid[:kernel_size, :kernel_size]
+    k = (1 - np.abs(og[0] / f - c)) * (1 - np.abs(og[1] / f - c))
+    return k.astype(dtype)
+
+
+def upsample_bilinear_convt(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Depthwise fixed-bilinear transposed conv, NHWC.
+
+    Matches torch ``ConvTranspose2d(C, C, k=2*factor, stride=factor,
+    padding=factor//2, groups=C, bias=False)`` with fill_up_weights — the
+    reference decoder. Implemented as an lhs-dilated conv so XLA fuses it.
+    """
+    c = x.shape[-1]
+    k = 2 * factor
+    pad = factor // 2
+    kern = jnp.asarray(bilinear_kernel(k), dtype=x.dtype)
+    # Depthwise: HWIO with I=1, O=C, feature_group_count=C.
+    kern = jnp.tile(kern[:, :, None, None], (1, 1, 1, c))
+    lo = k - 1 - pad  # transposed-conv padding identity
+    return jax.lax.conv_general_dilated(
+        x,
+        kern,
+        window_strides=(1, 1),
+        padding=((lo, lo), (lo, lo)),
+        lhs_dilation=(factor, factor),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def upsample_logits(x: jnp.ndarray, factor: int, mode: str = "resize") -> jnp.ndarray:
+    """8x (or any) logits upsample. ``resize`` = XLA-native bilinear;
+    ``convt`` = reference-parity fixed transposed conv."""
+    if factor == 1:
+        return x
+    if mode == "resize":
+        b, h, w, c = x.shape
+        return jax.image.resize(x, (b, h * factor, w * factor, c), method="bilinear")
+    if mode == "convt":
+        return upsample_bilinear_convt(x, factor)
+    raise ValueError(f"unknown upsample mode {mode!r}")
+
+
+class PixelClassifier(nn.Module):
+    """F-network for DRN trunks: 1x1 conv to n_class + 8x bilinear upsample.
+
+    The 1x1 conv runs in ``dtype`` (bf16 on TPU -> a pure MXU matmul over the
+    512-channel feature dim); logits are upsampled and returned in fp32 so the
+    softmax/CE that follows is numerically safe.
+    """
+
+    n_class: int
+    up_factor: int = 8
+    upsample: str = "resize"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, train: bool = False):
+        del train  # no BN/dropout in the DRN head
+        x = nn.Conv(
+            self.n_class,
+            kernel_size=(1, 1),
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="score",
+        )(feat)
+        x = x.astype(jnp.float32)
+        return upsample_logits(x, self.up_factor, self.upsample)
+
+
+class DepthRegressor(nn.Module):
+    """Auxiliary depth-estimation head for the multitask fusion variant
+    (SURVEY.md section 2, multitask trainer [P]): 1x1 conv to 1 channel +
+    upsample, predicting log-depth."""
+
+    up_factor: int = 8
+    upsample: str = "resize"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, train: bool = False):
+        del train
+        x = nn.Conv(
+            1,
+            kernel_size=(1, 1),
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="depth",
+        )(feat)
+        x = x.astype(jnp.float32)
+        return upsample_logits(x, self.up_factor, self.upsample)

@@ -1,0 +1,186 @@
+"""Fused on-device preprocessing.
+
+The reference runs its per-sample hot path (SURVEY.md section 3.4) in forked
+DataLoader CPU workers: PIL decode -> joint resize/crop/flip -> normalize ->
+channel stack, then a pinned-memory H2D copy. The TPU-native design inverts
+this: host workers ONLY decode files into fixed-size uint8/float raw batches;
+everything else is ONE jit-compiled function executed on device, per shard,
+fused by XLA with nothing but uint8 crossing PCIe:
+
+  raw uint8 RGB [B,h0,w0,3] (+ float depth [B,h0,w0] | uint8 HHA)
+      -> label remap (gather through the corpus table)
+      -> depth->HHA encode (ops.hha) when input_ch needs it and no HHA given
+      -> joint geometry: resize to pre-crop size, per-sample random crop +
+         horizontal flip (bilinear for channels, nearest for labels, SAME
+         crop/flip for both — the reference's shared-seed contract)
+      -> per-channel normalize + multichannel stack
+
+Randomness comes from a jax PRNG key threaded by the caller, so the whole
+train iteration (preprocess + MCD step) is deterministic given (seed, step).
+All shapes are static: the pre-crop size is ceil(target / crop_scale) fixed
+at trace time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcseg_tpu.core.config import DataConfig
+from mcseg_tpu.data.labels import get_label_spec
+from mcseg_tpu.data.transforms import HHA_MEAN, HHA_STD, RGB_MEAN, RGB_STD
+from mcseg_tpu.ops.hha import default_intrinsics, depth_to_hha_batch
+
+
+def _resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, hw[0], hw[1], c), method="bilinear")
+
+
+def _resize_nearest_labels(lbl: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    b = lbl.shape[0]
+    return jax.image.resize(lbl, (b, hw[0], hw[1]), method="nearest")
+
+
+def _crop_one(img, top, left, ch, cw):
+    return jax.lax.dynamic_slice(img, (top, left, 0), (ch, cw, img.shape[-1]))
+
+
+def _normalize_stack(rgb01, extra, input_ch: int) -> jnp.ndarray:
+    """rgb01 in [0,1]; extra = HHA in [0,1] (or depth01) or None."""
+    mean = jnp.asarray(RGB_MEAN)
+    std = jnp.asarray(RGB_STD)
+    rgb = (rgb01 - mean) / std
+    if input_ch == 3:
+        return rgb
+    if input_ch == 6:
+        hha = (extra - jnp.asarray(HHA_MEAN)) / jnp.asarray(HHA_STD)
+        return jnp.concatenate([rgb, hha], axis=-1)
+    if input_ch == 4:
+        d = (extra - 0.5) / 0.25
+        return jnp.concatenate([rgb, d], axis=-1)
+    if input_ch == 1:
+        return (extra - 0.5) / 0.25
+    raise ValueError(f"unsupported input_ch {input_ch}")
+
+
+def _extra_channels(batch: Dict[str, jnp.ndarray], input_ch: int) -> jnp.ndarray:
+    """Non-RGB channels in [0,1]: HHA (input_ch 6) or scaled depth (1/4).
+
+    Prefers a precomputed 'hha' image (the reference's offline path); falls
+    back to on-device encoding from raw 'depth' (the BASELINE extension).
+    """
+    has_hha = "hha" in batch and batch["hha"] is not None
+    has_depth = "depth" in batch and batch["depth"] is not None
+    if input_ch == 6:
+        if has_hha:
+            return batch["hha"].astype(jnp.float32) / 255.0
+        if has_depth:
+            depth = batch["depth"].astype(jnp.float32)
+            return depth_to_hha_batch(
+                depth, default_intrinsics(depth.shape[1], depth.shape[2])
+            ) / 255.0
+    elif input_ch in (1, 4):
+        if has_depth:
+            depth = batch["depth"].astype(jnp.float32)
+            dmax = jnp.maximum(jnp.max(depth), 1e-3)
+            return (depth / dmax)[..., None]
+        if has_hha:  # disparity channel as a 1-ch depth proxy
+            return batch["hha"][..., 0:1].astype(jnp.float32) / 255.0
+    raise ValueError(f"input_ch={input_ch} needs 'hha' or 'depth' in the batch")
+
+
+def make_train_preprocess(cfg: DataConfig, hha_ignore_aspect: bool = True) -> Callable:
+    """Build the jit-able train preprocess: (batch_dict, key) -> (img, label).
+
+    batch_dict (host-stacked raw arrays):
+      image  uint8  [B, h0, w0, 3]
+      label  uint8  [B, h0, w0]            (raw corpus ids)
+      depth  float32 [B, h0, w0] (meters)  optional
+      hha    uint8  [B, h0, w0, 3]         optional (precomputed, like the ref)
+
+    Returns img float32 [B, H, W, input_ch], label int32 [B, H, W].
+    """
+    tw, th = cfg.train_img_shape  # reference flag order (W, H)
+    target = (th, tw)
+    if cfg.random_crop:
+        pre = (int(np.ceil(th / np.sqrt(cfg.crop_scale_min))),
+               int(np.ceil(tw / np.sqrt(cfg.crop_scale_min))))
+    else:
+        pre = target
+    _, remap_np, _, _ = get_label_spec(cfg.src_dataset)
+    remap_src = jnp.asarray(remap_np)
+    needs_hha = cfg.input_ch in (4, 6) or (cfg.input_ch == 1)
+
+    def preprocess(batch: Dict[str, jnp.ndarray], key: jax.Array,
+                   remap_table: Optional[jnp.ndarray] = None):
+        table = remap_src if remap_table is None else remap_table
+        img_u8 = batch["image"]
+        label_u8 = batch["label"]
+        b = img_u8.shape[0]
+
+        rgb = img_u8.astype(jnp.float32) / 255.0
+        label = table[label_u8.astype(jnp.int32)].astype(jnp.int32)
+
+        extra = _extra_channels(batch, cfg.input_ch) if needs_hha else None
+
+        # ---- joint geometry ------------------------------------------------
+        rgb = _resize_bilinear(rgb, pre)
+        label = _resize_nearest_labels(label, pre)
+        if extra is not None:
+            extra = _resize_bilinear(extra, pre)
+
+        if cfg.random_crop and pre != target:
+            k_top, k_left, k_flip = jax.random.split(key, 3)
+            tops = jax.random.randint(k_top, (b,), 0, pre[0] - target[0] + 1)
+            lefts = jax.random.randint(k_left, (b,), 0, pre[1] - target[1] + 1)
+            crop = partial(_crop_one, ch=target[0], cw=target[1])
+            rgb = jax.vmap(crop)(rgb, tops, lefts)
+            label = jax.vmap(crop)(label[..., None], tops, lefts)[..., 0]
+            if extra is not None:
+                extra = jax.vmap(crop)(extra, tops, lefts)
+        else:
+            k_flip = key
+
+        if cfg.random_flip:
+            flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+            fmask = flip[:, None, None, None]
+            rgb = jnp.where(fmask, rgb[:, :, ::-1, :], rgb)
+            label = jnp.where(flip[:, None, None], label[:, :, ::-1], label)
+            if extra is not None:
+                extra = jnp.where(fmask, extra[:, :, ::-1, :], extra)
+
+        img = _normalize_stack(rgb, extra, cfg.input_ch)
+        return img, label
+
+    return preprocess
+
+
+def make_eval_preprocess(cfg: DataConfig) -> Callable:
+    """Deterministic eval preprocess: resize to test_img_shape + normalize.
+    Labels are remapped but NOT resized — mIoU is computed at native label
+    resolution against logits upsampled by the tester (reference behavior,
+    SURVEY.md section 3.3)."""
+    tw, th = cfg.test_img_shape
+    target = (th, tw)
+    _, remap_np, _, _ = get_label_spec(cfg.tgt_dataset)
+    remap_tbl = jnp.asarray(remap_np)
+    needs_hha = cfg.input_ch in (4, 6) or (cfg.input_ch == 1)
+
+    def preprocess(batch: Dict[str, jnp.ndarray],
+                   remap_table: Optional[jnp.ndarray] = None):
+        table = remap_tbl if remap_table is None else remap_table
+        rgb = batch["image"].astype(jnp.float32) / 255.0
+        label = table[batch["label"].astype(jnp.int32)].astype(jnp.int32)
+        extra = _extra_channels(batch, cfg.input_ch) if needs_hha else None
+        rgb = _resize_bilinear(rgb, target)
+        if extra is not None:
+            extra = _resize_bilinear(extra, target)
+        img = _normalize_stack(rgb, extra, cfg.input_ch)
+        return img, label
+
+    return preprocess

@@ -1,0 +1,158 @@
+"""High-level training loops — the L5 trainer/driver layer.
+
+Counterparts of the reference's ``source_trainer.py`` / ``adapt_trainer.py``
+__main__ bodies (SURVEY.md sections 3.1-3.2), as importable functions. Each
+iteration is ONE dispatch of a single jit-compiled program that fuses the
+on-device preprocessing (ops/preprocess.py) with the train step (train/
+source.py | mcd.py); host threads keep the next raw uint8 batch prefetched on
+the mesh (data/pipeline.py). Parameters/optimizer state are replicated,
+batches are sharded on the 'data' axis, and XLA inserts the ICI psum for
+gradients automatically.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mcseg_tpu.core.config import ExperimentConfig
+from mcseg_tpu.data.datasets import ZipDataset, get_dataset
+from mcseg_tpu.data.labels import get_label_spec
+from mcseg_tpu.data.pipeline import batch_iterator, device_prefetch
+from mcseg_tpu.models.factory import get_models
+from mcseg_tpu.ops.preprocess import make_train_preprocess
+from mcseg_tpu.parallel.mesh import make_mesh, replicate
+from mcseg_tpu.train.mcd import make_mcd_step
+from mcseg_tpu.train.source import make_source_step
+from mcseg_tpu.train.state import create_train_state
+from mcseg_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from mcseg_tpu.utils.logging import JsonlLogger, StepTimer
+from mcseg_tpu.utils.util import mkdir_if_not_exist
+
+
+def _init_or_resume(cfg: ExperimentConfig):
+    tw, th = cfg.data.train_img_shape
+    if cfg.train.resume:
+        state, _ = load_checkpoint(cfg.train.resume)
+        _, tx_g, tx_f = create_train_state(
+            cfg.model, cfg.train, jax.random.key(cfg.train.seed), img_shape=(16, 16)
+        )
+        return state, tx_g, tx_f
+    return create_train_state(
+        cfg.model, cfg.train, jax.random.key(cfg.train.seed), img_shape=(th, tw)
+    )
+
+
+def train_source(
+    cfg: ExperimentConfig,
+    mesh=None,
+    logger: Optional[JsonlLogger] = None,
+    max_iterations: Optional[int] = None,
+    on_epoch_end: Optional[Callable] = None,
+):
+    """Supervised source-only training (reference source_trainer.py)."""
+    mesh = mesh or make_mesh()
+    logger = logger or JsonlLogger()
+    out_dir = mkdir_if_not_exist(cfg.train.out_dir)
+
+    dataset = get_dataset(cfg.data.src_dataset, cfg.data, cfg.data.split)
+    state, tx_g, tx_f = _init_or_resume(cfg)
+    state = replicate(mesh, state)
+    g, f1, f2 = get_models(cfg.model)
+    pp = make_train_preprocess(cfg.data)
+    inner = make_source_step(g, f1, f2, tx_g, tx_f, cfg.train)
+    data_key = jax.random.key(cfg.train.seed + 1)
+
+    @jax.jit
+    def full_step(state, raw_batch):
+        key = jax.random.fold_in(data_key, state.step)
+        img, label = pp(raw_batch, key)
+        return inner(state, img, label)
+
+    timer = StepTimer()
+    steps_per_epoch = len(dataset) // cfg.data.batch_size
+    it = device_prefetch(
+        batch_iterator(dataset, cfg.data.batch_size, seed=cfg.train.seed,
+                       epochs=cfg.train.epochs),
+        mesh,
+    )
+    for i, raw in enumerate(it):
+        if max_iterations is not None and i >= max_iterations:
+            break
+        state, metrics = full_step(state, raw)
+        timer.tick(cfg.data.batch_size)
+        if i % cfg.train.log_every == 0:
+            logger.log({"step": i, **jax.device_get(metrics),
+                        "img_per_sec": timer.items_per_sec})
+        if (i + 1) % steps_per_epoch == 0:
+            epoch = (i + 1) // steps_per_epoch
+            if epoch % cfg.train.checkpoint_every_epochs == 0:
+                save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
+            if on_epoch_end:
+                on_epoch_end(epoch, state)
+    save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
+    return state
+
+
+def train_adapt(
+    cfg: ExperimentConfig,
+    mesh=None,
+    logger: Optional[JsonlLogger] = None,
+    max_iterations: Optional[int] = None,
+    on_epoch_end: Optional[Callable] = None,
+):
+    """MCD adaptation training (reference adapt_trainer.py): zipped
+    (source, target) batches through the fused A/B/C step."""
+    mesh = mesh or make_mesh()
+    logger = logger or JsonlLogger()
+    out_dir = mkdir_if_not_exist(cfg.train.out_dir)
+
+    src = get_dataset(cfg.data.src_dataset, cfg.data, cfg.data.split)
+    tgt = get_dataset(cfg.data.tgt_dataset, cfg.data, cfg.data.split)
+    zipped = ZipDataset(src, tgt)
+    state, tx_g, tx_f = _init_or_resume(cfg)
+    state = replicate(mesh, state)
+    g, f1, f2 = get_models(cfg.model)
+    pp = make_train_preprocess(cfg.data)
+    _, tgt_remap, _, _ = get_label_spec(cfg.data.tgt_dataset)
+    tgt_remap = jnp.asarray(tgt_remap)
+    inner = make_mcd_step(
+        g, f1, f2, tx_g, tx_f, cfg.train,
+        uses_one_classifier=cfg.model.uses_one_classifier,
+    )
+    data_key = jax.random.key(cfg.train.seed + 1)
+
+    @jax.jit
+    def full_step(state, src_raw, tgt_raw):
+        key = jax.random.fold_in(data_key, state.step)
+        k_src, k_tgt = jax.random.split(key)
+        xs, ys = pp(src_raw, k_src)
+        xt, _ = pp(tgt_raw, k_tgt, remap_table=tgt_remap)
+        return inner(state, xs, ys, xt)
+
+    timer = StepTimer()
+    steps_per_epoch = max(len(zipped) // cfg.data.batch_size, 1)
+    it = device_prefetch(
+        batch_iterator(zipped, cfg.data.batch_size, seed=cfg.train.seed,
+                       epochs=cfg.train.epochs),
+        mesh,
+    )
+    for i, (src_raw, tgt_raw) in enumerate(it):
+        if max_iterations is not None and i >= max_iterations:
+            break
+        state, metrics = full_step(state, src_raw, tgt_raw)
+        timer.tick(cfg.data.batch_size)
+        if i % cfg.train.log_every == 0:
+            logger.log({"step": i, **jax.device_get(metrics),
+                        "img_per_sec": timer.items_per_sec})
+        if (i + 1) % steps_per_epoch == 0:
+            epoch = (i + 1) // steps_per_epoch
+            if epoch % cfg.train.checkpoint_every_epochs == 0:
+                save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
+            if on_epoch_end:
+                on_epoch_end(epoch, state)
+    save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
+    return state

@@ -1,0 +1,83 @@
+"""Checkpoint save/load with config round-trip.
+
+The reference saves a plain torch dict per epoch —
+``{epoch, args, g_state_dict, f1_state_dict, f2_state_dict, optimizer_g,
+optimizer_f}`` — and its testers rebuild the model FROM THE ARGS STORED IN THE
+CHECKPOINT (SURVEY.md section 5, a public surface). We preserve that logical
+layout with a msgpack payload + JSON config sidecar:
+
+    <prefix>.msgpack       {step, params{G,F1,F2}, batch_stats, opt_g, opt_f, rng}
+    <prefix>.config.json   ExperimentConfig dict (the 'args')
+
+``load_checkpoint(prefix)`` reads the config, rebuilds the exact model/opt
+state skeleton via ``create_train_state``, and restores into it — the same
+args->model round-trip. Deterministic resume restores params, BOTH optimizer
+states, step and RNG key (SURVEY.md section 5 failure-recovery contract).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from mcseg_tpu.core.config import ExperimentConfig
+from mcseg_tpu.train.state import MCDTrainState, create_train_state
+from mcseg_tpu.utils.util import load_json, mkdir_if_not_exist, save_dic_to_json
+
+
+def _state_to_dict(state: MCDTrainState) -> dict:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_g": state.opt_g,
+        "opt_f": state.opt_f,
+        "rng": jax.random.key_data(state.rng),
+    }
+
+
+def save_checkpoint(prefix: str, state: MCDTrainState, config: ExperimentConfig) -> str:
+    """Write <prefix>.msgpack + <prefix>.config.json; returns the msgpack path."""
+    mkdir_if_not_exist(os.path.dirname(prefix) or ".")
+    host_state = jax.device_get(_state_to_dict(state))
+    blob = serialization.to_bytes(host_state)
+    path = prefix + ".msgpack"
+    with open(path, "wb") as f:
+        f.write(blob)
+    save_dic_to_json(config.to_dict(), prefix + ".config.json")
+    return path
+
+
+def load_checkpoint(
+    prefix: str, config: Optional[ExperimentConfig] = None
+) -> Tuple[MCDTrainState, ExperimentConfig]:
+    """Rebuild (state, config) from a checkpoint prefix. The model/optimizer
+    skeleton comes from the EMBEDDED config unless an override is given."""
+    if config is None:
+        config = ExperimentConfig.from_dict(load_json(prefix + ".config.json"))
+    skeleton, _, _ = create_train_state(
+        config.model, config.train, jax.random.key(0), img_shape=(16, 16)
+    )
+    target = _state_to_dict(skeleton)
+    with open(prefix + ".msgpack", "rb") as f:
+        restored = serialization.from_bytes(target, f.read())
+    state = MCDTrainState(
+        step=jnp.asarray(restored["step"]),
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_g=restored["opt_g"],
+        opt_f=restored["opt_f"],
+        rng=jax.random.wrap_key_data(jnp.asarray(restored["rng"])),
+    )
+    return state, config
+
+
+def checkpoint_exists(prefix: str) -> bool:
+    return os.path.exists(prefix + ".msgpack") and os.path.exists(
+        prefix + ".config.json"
+    )

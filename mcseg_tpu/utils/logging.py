@@ -1,0 +1,61 @@
+"""Structured training logs + throughput meter.
+
+The reference logs via tqdm + scalar dumps (SURVEY.md section 5). Rebuild:
+a JSONL step log (machine-readable) plus stdout lines, and a StepTimer that
+reports images/sec/chip with compile time excluded — the BASELINE metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+class JsonlLogger:
+    def __init__(self, path: Optional[str] = None, echo: bool = True):
+        self.path = path
+        self.echo = echo
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def log(self, record: Dict[str, Any]) -> None:
+        record = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
+        if self._f:
+            self._f.write(json.dumps(record) + "\n")
+            self._f.flush()
+        if self.echo:
+            parts = [f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+                     for k, v in record.items()]
+            print("  ".join(parts), flush=True)
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+class StepTimer:
+    """Throughput meter excluding warmup/compile steps."""
+
+    def __init__(self, skip_first: int = 1):
+        self.skip_first = skip_first
+        self.n_steps = 0
+        self.n_items = 0
+        self._t0 = None
+
+    def tick(self, items: int) -> None:
+        self.n_steps += 1
+        if self.n_steps == self.skip_first:
+            self._t0 = time.perf_counter()
+        elif self.n_steps > self.skip_first:
+            self.n_items += items
+
+    @property
+    def items_per_sec(self) -> float:
+        if self._t0 is None or self.n_items == 0:
+            return 0.0
+        return self.n_items / (time.perf_counter() - self._t0)

@@ -1,0 +1,22 @@
+"""Test harness: run everything on CPU with 8 virtual XLA devices so the
+data-parallel mesh path is exercised without TPU hardware (SURVEY.md section 4,
+'distributed-without-a-cluster')."""
+
+import os
+
+# Must happen before jax initializes its backends.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: recompiling the DRN autodiff graphs dominates
+# test wall-clock otherwise.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mcseg_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

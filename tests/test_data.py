@@ -1,0 +1,150 @@
+"""Data layer: remap tables, synthetic corpus, zip pairing, host transforms,
+batch iterator (SURVEY.md section 4 'unit')."""
+
+import numpy as np
+import pytest
+
+from mcseg_tpu.core.config import DataConfig
+from mcseg_tpu.data.datasets import SyntheticDataset, ZipDataset, get_dataset
+from mcseg_tpu.data.labels import (
+    IGNORE,
+    cityscapes_id_to_train_table,
+    get_label_spec,
+    nyu40_raw_to_train_table,
+    remap,
+)
+from mcseg_tpu.data.pipeline import batch_iterator
+from mcseg_tpu.data.transforms import (
+    colorize,
+    joint_random_crop_flip,
+    normalize_multichannel,
+    scale_image,
+    scale_label,
+)
+
+
+def _cfg(**kw):
+    defaults = dict(
+        src_dataset="synthetic", tgt_dataset="synthetic", batch_size=2,
+        train_img_shape=(64, 48), test_img_shape=(64, 48), input_ch=3,
+        max_samples=8,
+    )
+    defaults.update(kw)
+    return DataConfig(**defaults)
+
+
+def test_cityscapes_remap_table():
+    t = cityscapes_id_to_train_table()
+    assert t[7] == 0 and t[26] == 13 and t[33] == 18
+    assert t[0] == IGNORE and t[34] == IGNORE and t[255] == IGNORE
+    assert (t != IGNORE).sum() == 19
+
+
+def test_nyu40_remap_table():
+    t = nyu40_raw_to_train_table()
+    assert t[0] == IGNORE
+    assert t[1] == 0 and t[40] == 39
+    assert t[41] == IGNORE
+
+
+def test_remap_is_gather():
+    t = nyu40_raw_to_train_table()
+    lbl = np.array([[0, 1], [40, 200]], np.uint8)
+    out = remap(lbl, t)
+    np.testing.assert_array_equal(out, [[IGNORE, 0], [39, IGNORE]])
+
+
+def test_label_spec_lookup():
+    n, _, names, pal = get_label_spec("city")
+    assert n == 19 and len(names) == 19 and pal.shape == (19, 3)
+    n, _, names, _ = get_label_spec("suncg")
+    assert n == 40 and len(names) == 40
+
+
+def test_synthetic_dataset_deterministic_and_learnable():
+    ds = SyntheticDataset(_cfg(), "train", seed=0)
+    a, b = ds[3], ds[3]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["label"], b["label"])
+    assert a["image"].shape == (48, 64, 3) and a["image"].dtype == np.uint8
+    assert a["depth"].shape == (48, 64) and a["depth"].dtype == np.float32
+    # raw labels in 0..12 range (0=void), more than one class present
+    assert a["label"].max() >= 1 and len(np.unique(a["label"])) > 2
+    # different index -> different scene
+    c = ds[4]
+    assert not np.array_equal(a["label"], c["label"])
+
+
+def test_get_dataset_factory_and_zip():
+    cfg = _cfg()
+    src = get_dataset("synthetic", cfg, "train")
+    tgt = SyntheticDataset(cfg, "train", seed=77)
+    z = ZipDataset(src, tgt)
+    assert len(z) == min(len(src), len(tgt))
+    (s, t) = z[0]
+    assert s["image"].shape == t["image"].shape
+
+
+def test_get_dataset_unknown():
+    with pytest.raises(ValueError):
+        get_dataset("imagenet", _cfg())
+
+
+def test_joint_crop_flip_equivariance():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (40, 60, 3), np.uint8)
+    label = rng.randint(0, 5, (40, 60), np.uint8)
+    # mark a distinctive pixel
+    img[10, 20] = [255, 0, 0]
+    label[10, 20] = 4
+    for seed in range(5):
+        r = np.random.RandomState(seed)
+        ci, cl = joint_random_crop_flip(img, label, (32, 48), r, flip=True)
+        assert ci.shape == (32, 48, 3) and cl.shape == (32, 48)
+        # wherever the marker survived, img and label agree on its location
+        pos_i = np.argwhere((ci == [255, 0, 0]).all(-1))
+        pos_l = np.argwhere(cl == 4)
+        if len(pos_i) == 1 and len(pos_l) == 1:
+            np.testing.assert_array_equal(pos_i[0], pos_l[0])
+
+
+def test_scale_image_and_label():
+    img = np.zeros((20, 30, 3), np.uint8)
+    assert scale_image(img, (15, 10)).shape == (10, 15, 3)
+    lbl = np.random.RandomState(0).randint(0, 4, (20, 30)).astype(np.uint8)
+    out = scale_label(lbl, (15, 10))
+    assert out.shape == (10, 15)
+    assert set(np.unique(out)) <= set(np.unique(lbl))  # nearest never invents ids
+
+
+def test_normalize_multichannel_shapes():
+    for c in (1, 3, 4, 6):
+        x = np.random.RandomState(0).randint(0, 255, (8, 8, c), np.uint8)
+        out = normalize_multichannel(x)
+        assert out.shape == (8, 8, c) and out.dtype == np.float32
+
+
+def test_colorize_ignores():
+    pal = np.array([[10, 0, 0], [0, 10, 0]], np.uint8)
+    lbl = np.array([[0, 1], [255, 0]], np.uint8)
+    rgb = colorize(lbl, pal)
+    np.testing.assert_array_equal(rgb[1, 0], [0, 0, 0])
+    np.testing.assert_array_equal(rgb[0, 1], [0, 10, 0])
+
+
+def test_batch_iterator_shapes_and_epochs():
+    cfg = _cfg(max_samples=5)
+    ds = SyntheticDataset(cfg, "train")
+    batches = list(batch_iterator(ds, 2, seed=0, epochs=2))
+    assert len(batches) == 4  # 2 per epoch, drop_last
+    assert batches[0]["image"].shape == (2, 48, 64, 3)
+    assert batches[0]["label"].shape == (2, 48, 64)
+
+
+def test_batch_iterator_zip():
+    cfg = _cfg(max_samples=4)
+    z = ZipDataset(SyntheticDataset(cfg, "train", seed=0),
+                   SyntheticDataset(cfg, "train", seed=9))
+    (s, t) = next(batch_iterator(z, 2, epochs=1))
+    assert s["image"].shape == t["image"].shape == (2, 48, 64, 3)
+    assert not np.array_equal(s["image"], t["image"])

@@ -1,0 +1,111 @@
+"""Model zoo: shapes, output stride, variants, widening, upsample parity
+vs torch's fixed-bilinear ConvTranspose2d (SURVEY.md section 4 'golden-model')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from mcseg_tpu.core.config import ModelConfig
+from mcseg_tpu.models.drn import build_drn, drn_variants
+from mcseg_tpu.models.factory import get_models, init_models, widen_first_conv_params
+from mcseg_tpu.models.heads import bilinear_kernel, upsample_bilinear_convt
+
+
+def _fwd(cfg, hw=(16, 16), batch=1):
+    variables = init_models(cfg, jax.random.key(0), img_shape=hw, batch=batch)
+    g, f1, f2 = get_models(cfg)
+    x = jnp.ones((batch, *hw, cfg.input_ch), jnp.float32)
+    gvars = {"params": variables["params"]["G"]}
+    if variables["batch_stats"]["G"]:
+        gvars["batch_stats"] = variables["batch_stats"]["G"]
+    feat = g.apply(gvars, x, False)
+    o = f1.apply({"params": variables["params"]["F1"]}, feat, False)
+    return feat, o
+
+
+def test_drn_d_22_output_stride_8_and_logits_fullres():
+    cfg = ModelConfig(net="drn_d_22", input_ch=3, n_class=12, dtype="float32")
+    feat, logits = _fwd(cfg, hw=(16, 24))
+    assert feat.shape == (1, 2, 3, 512)
+    assert logits.shape == (1, 16, 24, 12)
+
+
+def test_drn_c_26_runs():
+    cfg = ModelConfig(net="drn_c_26", input_ch=3, n_class=5, dtype="float32")
+    _, logits = _fwd(cfg)
+    assert logits.shape == (1, 16, 16, 5)
+
+
+def test_multichannel_input_6ch():
+    cfg = ModelConfig(net="drn_d_22", input_ch=6, n_class=8, dtype="float32")
+    _, logits = _fwd(cfg)
+    assert logits.shape == (1, 16, 16, 8)
+
+
+def test_late_fusion_score_add():
+    cfg = ModelConfig(net="drn_d_22", input_ch=6, n_class=7, fusion="late", dtype="float32")
+    _, logits = _fwd(cfg)
+    assert logits.shape == (1, 16, 16, 7)
+
+
+def test_fcn8s_vgg16():
+    cfg = ModelConfig(net="fcn8s_vgg16", input_ch=3, n_class=9, dtype="float32")
+    hw = (32, 32)
+    variables = init_models(cfg, jax.random.key(0), img_shape=hw)
+    g, f1, _ = get_models(cfg)
+    x = jnp.ones((1, *hw, 3), jnp.float32)
+    feats = g.apply({"params": variables["params"]["G"]}, x, False)
+    assert feats[0].shape[1] == 4 and feats[1].shape[1] == 2  # /8, /16
+    o = f1.apply({"params": variables["params"]["F1"]}, feats, False)
+    assert o.shape == (1, 32, 32, 9)
+
+
+def test_all_drn_variants_buildable():
+    # Construction only (no init — the 105 is big); validates the zoo table.
+    for name in drn_variants():
+        m = build_drn(name)
+        assert m.out_dim == 512
+
+
+def test_bf16_trunk_fp32_logits():
+    cfg = ModelConfig(net="drn_d_22", input_ch=3, n_class=4, dtype="bfloat16")
+    feat, logits = _fwd(cfg)
+    assert feat.dtype == jnp.bfloat16
+    assert logits.dtype == jnp.float32
+
+
+def test_widen_first_conv_preserves_rgb_slice():
+    k3 = jnp.asarray(np.random.RandomState(0).randn(7, 7, 3, 16).astype(np.float32))
+    k6 = widen_first_conv_params(k3, 6)
+    assert k6.shape == (7, 7, 6, 16)
+    np.testing.assert_array_equal(np.asarray(k6[:, :, :3]), np.asarray(k3))
+    k1 = widen_first_conv_params(k3, 1)
+    np.testing.assert_allclose(
+        np.asarray(k1[:, :, 0]), np.asarray(k3.sum(axis=2)), rtol=1e-6
+    )
+
+
+def test_bilinear_convt_matches_torch_fixed_upsample():
+    """Our lhs-dilated depthwise conv == torch ConvTranspose2d(fill_up_weights)."""
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 4, 5, 3).astype(np.float32)
+    factor = 8
+    ours = np.asarray(upsample_bilinear_convt(jnp.asarray(x), factor))
+
+    k = 2 * factor
+    convt = torch.nn.ConvTranspose2d(3, 3, k, stride=factor, padding=factor // 2,
+                                     groups=3, bias=False)
+    w = bilinear_kernel(k)
+    with torch.no_grad():
+        convt.weight.copy_(torch.from_numpy(np.tile(w[None, None], (3, 1, 1, 1))))
+    theirs = convt(torch.from_numpy(x).permute(0, 3, 1, 2)).detach().numpy()
+    theirs = np.transpose(theirs, (0, 2, 3, 1))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_uses_one_classifier_config_roundtrip():
+    cfg = ModelConfig(uses_one_classifier=True)
+    d = cfg.to_dict()
+    assert ModelConfig.from_dict(d) == cfg
