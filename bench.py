@@ -19,6 +19,8 @@ measured number when the reference becomes runnable.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
+
 import json
 import os
 import time
@@ -70,7 +72,7 @@ def main():
     inner = make_mcd_step(g, f1, f2, tx_g, tx_f, train_cfg)
     data_key = jax.random.key(1)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def full_step(state, src_raw, tgt_raw):
         key = jax.random.fold_in(data_key, state.step)
         k_src, k_tgt = jax.random.split(key)

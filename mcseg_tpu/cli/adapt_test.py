@@ -36,7 +36,7 @@ def main(argv=None, average_classifiers=True):
     dataset = get_dataset(data.tgt_dataset, data, args.split)
     miou, hist, table = evaluate(
         state, cfg, dataset,
-        average_classifiers=average_classifiers,
+        average_classifiers=average_classifiers or args.use_f2,
         save_dir=args.outdir,
     )
     return miou

@@ -1,0 +1,25 @@
+"""Multitask (segmentation + auxiliary depth) training entry point
+(reference: multitask trainer variants, SURVEY.md section 2).
+
+    python -m mcseg_tpu.cli.multitask_train suncg nyu --input_ch 3 ...
+"""
+
+from mcseg_tpu.cli.argparse_compat import args_to_config, get_da_mcd_training_parser
+from mcseg_tpu.train.loops import train_multitask
+from mcseg_tpu.utils.util import mkdir_if_not_exist, save_dic_to_json
+
+
+def main(argv=None):
+    parser = get_da_mcd_training_parser()
+    parser.add_argument("--depth_weight", type=float, default=0.5)
+    parser.add_argument("--source_only", action="store_true",
+                        help="multitask without MCD adaptation")
+    args = parser.parse_args(argv)
+    cfg = args_to_config(args, adapt=not args.source_only)
+    mkdir_if_not_exist(cfg.train.out_dir)
+    save_dic_to_json(cfg.to_dict(), f"{cfg.train.out_dir}/args.json")
+    train_multitask(cfg, depth_weight=args.depth_weight, adapt=not args.source_only)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,13 +51,21 @@ def _conv(
     name: str | None = None,
     dtype=jnp.float32,
 ) -> nn.Conv:
-    """3x3/7x7/1x1 conv, SAME padding scaled by dilation, no bias (BN follows)."""
+    """3x3/7x7/1x1 conv, no bias (BN follows).
+
+    Padding is explicit symmetric ``dilation * (k // 2)`` — torch's
+    ``padding=dilation`` convention — NOT 'SAME': for stride-2 convs on even
+    sizes SAME pads asymmetrically (0,1) while torch pads (1,1), which would
+    shift every downsampled feature map by one pixel and break
+    torch-checkpoint import parity (utils/torch_import.py).
+    """
+    pad = dilation * (kernel // 2)
     return nn.Conv(
         features=features,
         kernel_size=(kernel, kernel),
         strides=(stride, stride),
         kernel_dilation=(dilation, dilation),
-        padding="SAME",
+        padding=((pad, pad), (pad, pad)),
         use_bias=False,
         dtype=dtype,
         param_dtype=jnp.float32,

@@ -45,6 +45,13 @@ def get_models(cfg: ModelConfig) -> Tuple[nn.Module, nn.Module, nn.Module]:
         f1 = PixelClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
         f2 = PixelClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
         return g, f1, f2
+    if cfg.net in ("psp", "psp_net", "pspnet"):
+        from mcseg_tpu.models.psp_net import PSPFeatureGenerator
+
+        g = PSPFeatureGenerator(input_ch=cfg.input_ch, dtype=dt)
+        f1 = PixelClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
+        f2 = PixelClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
+        return g, f1, f2
     if cfg.net in ("fcn", "fcn8s", "fcn8s_vgg16"):
         g = VGG16FeatureGenerator(input_ch=cfg.input_ch, dtype=dt)
         f1 = FCN8sClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
@@ -70,7 +77,10 @@ def init_models(
     kg, kf1, kf2 = jax.random.split(rng, 3)
     x = jnp.zeros((batch, h, w, cfg.input_ch), jnp.float32)
     gv = g.init({"params": kg}, x, False)
-    feat = g.apply(gv, x, False)
+    # Size the heads with an abstract forward — no compile, no FLOPs (matters
+    # for load_checkpoint, which builds this skeleton on every restore).
+    feat_shape = jax.eval_shape(lambda v, xx: g.apply(v, xx, False), gv, x)
+    feat = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), feat_shape)
     f1v = f1.init({"params": kf1}, feat, False)
     f2v = f2.init({"params": kf2}, feat, False)
     return {

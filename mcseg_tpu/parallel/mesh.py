@@ -29,6 +29,16 @@ def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
     a v5e-8 host yields Mesh((8,), ('data',)) with collectives riding ICI."""
     if devices is None:
         devices = jax.devices()
+        if n_devices is not None and n_devices > len(devices):
+            # Simulated multi-chip: fall back to host CPU devices (present when
+            # --xla_force_host_platform_device_count is set) so sharding tests
+            # and driver dry-runs work with one real chip.
+            try:
+                cpu = jax.devices("cpu")
+            except RuntimeError:
+                cpu = []
+            if len(cpu) >= n_devices:
+                devices = cpu
     if n_devices is not None:
         if n_devices > len(devices):
             raise ValueError(

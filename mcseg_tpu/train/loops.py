@@ -12,6 +12,8 @@ gradients automatically.
 
 from __future__ import annotations
 
+import functools
+
 import os
 from typing import Callable, Optional
 
@@ -66,7 +68,7 @@ def train_source(
     inner = make_source_step(g, f1, f2, tx_g, tx_f, cfg.train)
     data_key = jax.random.key(cfg.train.seed + 1)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def full_step(state, raw_batch):
         key = jax.random.fold_in(data_key, state.step)
         img, label = pp(raw_batch, key)
@@ -93,6 +95,95 @@ def train_source(
                 save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
             if on_epoch_end:
                 on_epoch_end(epoch, state)
+    save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
+    return state
+
+
+def train_multitask(
+    cfg: ExperimentConfig,
+    mesh=None,
+    logger: Optional[JsonlLogger] = None,
+    max_iterations: Optional[int] = None,
+    depth_weight: float = 0.5,
+    adapt: bool = True,
+):
+    """Multitask (seg + aux depth) training, source-only or MCD-adapted
+    (reference: multitask trainer variants, SURVEY.md section 2)."""
+    from mcseg_tpu.train.multitask import (
+        init_multitask_state,
+        make_multitask_mcd_step,
+        make_multitask_source_step,
+    )
+
+    mesh = mesh or make_mesh()
+    logger = logger or JsonlLogger()
+    out_dir = mkdir_if_not_exist(cfg.train.out_dir)
+    tw, th = cfg.data.train_img_shape
+
+    state, tx_g, tx_f, d_head = init_multitask_state(
+        cfg.model, cfg.train, jax.random.key(cfg.train.seed), img_shape=(th, tw)
+    )
+    state = replicate(mesh, state)
+    g, f1, f2 = get_models(cfg.model)
+    pp = make_train_preprocess(cfg.data)
+    data_key = jax.random.key(cfg.train.seed + 1)
+
+    def _depth01(raw):
+        d = raw["depth"].astype(jnp.float32)
+        b, h0, w0 = d.shape
+        d = jax.image.resize(d, (b, th, tw), method="bilinear")
+        return d / jnp.maximum(jnp.max(d), 1e-3)
+
+    if adapt:
+        src = get_dataset(cfg.data.src_dataset, cfg.data, cfg.data.split)
+        tgt = get_dataset(cfg.data.tgt_dataset, cfg.data, cfg.data.split)
+        dataset = ZipDataset(src, tgt)
+        _, tgt_remap, _, _ = get_label_spec(cfg.data.tgt_dataset)
+        tgt_remap = jnp.asarray(tgt_remap)
+        inner = make_multitask_mcd_step(
+            g, f1, f2, d_head, tx_g, tx_f, cfg.train, depth_weight
+        )
+
+        @jax.jit
+        def full_step(state, src_raw, tgt_raw):
+            key = jax.random.fold_in(data_key, state.step)
+            k_src, k_tgt = jax.random.split(key)
+            xs, ys = pp(src_raw, k_src)
+            xt, _ = pp(tgt_raw, k_tgt, remap_table=tgt_remap)
+            # NOTE: depth supervision uses the un-augmented resized depth; the
+            # aux task tolerates the crop/flip mismatch (documented divergence).
+            ds = _depth01(src_raw)
+            return inner(state, xs, ys, ds, xt)
+
+    else:
+        dataset = get_dataset(cfg.data.src_dataset, cfg.data, cfg.data.split)
+        inner = make_multitask_source_step(
+            g, f1, f2, d_head, tx_g, tx_f, cfg.train, depth_weight
+        )
+
+        @jax.jit
+        def full_step(state, raw):
+            key = jax.random.fold_in(data_key, state.step)
+            img, label = pp(raw, key)
+            return inner(state, img, label, _depth01(raw))
+
+    it = device_prefetch(
+        batch_iterator(dataset, cfg.data.batch_size, seed=cfg.train.seed,
+                       epochs=cfg.train.epochs),
+        mesh,
+    )
+    timer = StepTimer()
+    for i, item in enumerate(it):
+        if max_iterations is not None and i >= max_iterations:
+            break
+        if adapt:
+            state, metrics = full_step(state, item[0], item[1])
+        else:
+            state, metrics = full_step(state, item)
+        timer.tick(cfg.data.batch_size)
+        if i % cfg.train.log_every == 0:
+            logger.log({"step": i, **jax.device_get(metrics),
+                        "img_per_sec": timer.items_per_sec})
     save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
     return state
 
@@ -125,7 +216,7 @@ def train_adapt(
     )
     data_key = jax.random.key(cfg.train.seed + 1)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def full_step(state, src_raw, tgt_raw):
         key = jax.random.fold_in(data_key, state.step)
         k_src, k_tgt = jax.random.split(key)

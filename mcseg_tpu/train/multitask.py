@@ -1,0 +1,206 @@
+"""Multitask trainer step: segmentation + auxiliary depth estimation.
+
+The reference's third fusion mode (SURVEY.md section 2 'multitask trainer
+[?]', paper arXiv:1812.04351 [P]): the generator G is shared between the
+segmentation classifier(s) and an auxiliary depth-regression head; predicting
+depth from RGB regularizes G's features for the RGB+D domain. Loss =
+CE(seg) + lambda * berHu(depth). Implemented both source-only and as an MCD
+variant (the discrepancy game unchanged; the depth head trains in step A).
+
+State layout reuses MCDTrainState with the depth head's params living under
+params['F2'] when method='multitask_source' is trained single-head — instead,
+to keep checkpoints honest, the depth head gets its own subtree 'D' carried in
+params; opt_f covers {F1, F2, D}.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mcseg_tpu.core.config import ModelConfig, TrainConfig
+from mcseg_tpu.losses.discrepancy import get_prob_distance_criterion
+from mcseg_tpu.losses.seg import berhu_loss, cross_entropy_2d
+from mcseg_tpu.models.factory import get_models, init_models
+from mcseg_tpu.models.heads import DepthRegressor
+from mcseg_tpu.train.apply import apply_classifier, apply_generator
+from mcseg_tpu.train.optim import get_optimizer, make_lr_schedule, set_lr
+from mcseg_tpu.train.state import MCDTrainState
+
+
+def init_multitask_state(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    rng: jax.Array,
+    img_shape: Tuple[int, int] = (64, 64),
+):
+    """Like create_train_state but with a depth head 'D' in the param tree."""
+    k_init, k_d, k_state = jax.random.split(rng, 3)
+    variables = init_models(model_cfg, k_init, img_shape=img_shape)
+    g, _, _ = get_models(model_cfg)
+    d_head = DepthRegressor(upsample=model_cfg.upsample)
+    x = jnp.zeros((1, *img_shape, model_cfg.input_ch), jnp.float32)
+    gv = {"params": variables["params"]["G"]}
+    if variables["batch_stats"]["G"]:
+        gv["batch_stats"] = variables["batch_stats"]["G"]
+    feat = g.apply(gv, x, False)
+    dv = d_head.init({"params": k_d}, feat, False)
+
+    params = dict(variables["params"])
+    params["D"] = dv["params"]
+    tx_g = get_optimizer(train_cfg.opt, train_cfg.lr, train_cfg.momentum,
+                         train_cfg.weight_decay)
+    tx_f = get_optimizer(train_cfg.opt, train_cfg.lr, train_cfg.momentum,
+                         train_cfg.weight_decay)
+    state = MCDTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_g=tx_g.init(params["G"]),
+        opt_f=tx_f.init({"F1": params["F1"], "F2": params["F2"], "D": params["D"]}),
+        rng=k_state,
+    )
+    return state, tx_g, tx_f, d_head
+
+
+def make_multitask_source_step(
+    g, f1, f2, d_head, tx_g, tx_f, cfg: TrainConfig, depth_weight: float = 0.5
+) -> Callable:
+    """Supervised multitask step: CE(F1) + CE(F2) + w * berHu(depth)."""
+    lr_fn = make_lr_schedule(cfg.lr_schedule, cfg.lr, cfg.max_steps, cfg.lr_power)
+
+    def step(state: MCDTrainState, img, label, depth):
+        rng, drop_rng = jax.random.split(state.rng)
+        lr = lr_fn(state.step)
+
+        def loss_fn(params):
+            feat, new_sg = apply_generator(
+                g, params["G"], state.batch_stats["G"], img, True, drop_rng
+            )
+            o1 = apply_classifier(f1, params["F1"], feat, True)
+            o2 = apply_classifier(f2, params["F2"], feat, True)
+            d_pred = d_head.apply({"params": params["D"]}, feat, True)
+            seg = cross_entropy_2d(o1, label) + cross_entropy_2d(o2, label)
+            dep = berhu_loss(d_pred, depth)
+            return seg + depth_weight * dep, (new_sg, seg, dep)
+
+        (loss, (new_sg, seg, dep)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        opt_g = set_lr(state.opt_g, lr)
+        opt_f = set_lr(state.opt_f, lr)
+        up_g, opt_g = tx_g.update(grads["G"], opt_g, state.params["G"])
+        pf = {k: state.params[k] for k in ("F1", "F2", "D")}
+        gf = {k: grads[k] for k in ("F1", "F2", "D")}
+        up_f, opt_f = tx_f.update(gf, opt_f, pf)
+        new_pg = optax.apply_updates(state.params["G"], up_g)
+        new_pf = optax.apply_updates(pf, up_f)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params={"G": new_pg, **new_pf},
+            batch_stats={**state.batch_stats, "G": new_sg},
+            opt_g=opt_g,
+            opt_f=opt_f,
+            rng=rng,
+        )
+        return new_state, {"loss": loss, "loss_seg": seg, "loss_depth": dep, "lr": lr}
+
+    return step
+
+
+def make_multitask_mcd_step(
+    g, f1, f2, d_head, tx_g, tx_f, cfg: TrainConfig, depth_weight: float = 0.5
+) -> Callable:
+    """MCD A/B/C with the depth task folded into step A (source supervision).
+
+    Steps B/C are the plain discrepancy game — depth supervision exists only
+    on the source domain, so only step A touches the depth head.
+    """
+    disc = get_prob_distance_criterion(cfg.d_loss)
+    lr_fn = make_lr_schedule(cfg.lr_schedule, cfg.lr, cfg.max_steps, cfg.lr_power)
+
+    def step(state: MCDTrainState, src_img, src_label, src_depth, tgt_img):
+        rng, ka, kb, kc = jax.random.split(state.rng, 4)
+        lr = lr_fn(state.step)
+        opt_g = set_lr(state.opt_g, lr)
+        opt_f = set_lr(state.opt_f, lr)
+
+        # STEP A + depth
+        def loss_a(params):
+            feat, new_sg = apply_generator(
+                g, params["G"], state.batch_stats["G"], src_img, True, ka
+            )
+            o1 = apply_classifier(f1, params["F1"], feat, True)
+            o2 = apply_classifier(f2, params["F2"], feat, True)
+            d_pred = d_head.apply({"params": params["D"]}, feat, True)
+            seg = cross_entropy_2d(o1, src_label) + cross_entropy_2d(o2, src_label)
+            dep = berhu_loss(d_pred, src_depth)
+            return seg + depth_weight * dep, (new_sg, seg, dep)
+
+        (l_a, (sg, seg_a, dep_a)), grads = jax.value_and_grad(
+            loss_a, has_aux=True
+        )(state.params)
+        up_g, opt_g = tx_g.update(grads["G"], opt_g, state.params["G"])
+        pg = optax.apply_updates(state.params["G"], up_g)
+        pf = {k: state.params[k] for k in ("F1", "F2", "D")}
+        gf = {k: grads[k] for k in ("F1", "F2", "D")}
+        up_f, opt_f = tx_f.update(gf, opt_f, pf)
+        pf = optax.apply_updates(pf, up_f)
+
+        # STEP B (classifiers only)
+        def loss_b(pf_, sg_):
+            feat_s, sg_ = apply_generator(g, pg, sg_, src_img, True, kb)
+            feat_t, sg_ = apply_generator(g, pg, sg_, tgt_img, True, kb)
+            o1s = apply_classifier(f1, pf_["F1"], feat_s, True)
+            o2s = apply_classifier(f2, pf_["F2"], feat_s, True)
+            o1t = apply_classifier(f1, pf_["F1"], feat_t, True)
+            o2t = apply_classifier(f2, pf_["F2"], feat_t, True)
+            loss = (
+                cross_entropy_2d(o1s, src_label)
+                + cross_entropy_2d(o2s, src_label)
+                - disc(o1t, o2t)
+            )
+            return loss, sg_
+
+        (l_b, sg), grads_f = jax.value_and_grad(loss_b, has_aux=True)(pf, sg)
+        up_f, opt_f = tx_f.update(grads_f, opt_f, pf)
+        pf = optax.apply_updates(pf, up_f)
+
+        # STEP C (generator only, num_k times)
+        def c_iter(carry, _):
+            pg_, opt_g_, sg_ = carry
+
+            def loss_c(p, s):
+                feat_t, s = apply_generator(g, p, s, tgt_img, True, kc)
+                o1t = apply_classifier(f1, pf["F1"], feat_t, True)
+                o2t = apply_classifier(f2, pf["F2"], feat_t, True)
+                return disc(o1t, o2t), s
+
+            (l_c, sg_), gg = jax.value_and_grad(loss_c, has_aux=True)(pg_, sg_)
+            up, opt_g_ = tx_g.update(gg, opt_g_, pg_)
+            return (optax.apply_updates(pg_, up), opt_g_, sg_), l_c
+
+        (pg, opt_g, sg), l_cs = jax.lax.scan(
+            c_iter, (pg, opt_g, sg), None, length=cfg.num_k
+        )
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params={"G": pg, **pf},
+            batch_stats={**state.batch_stats, "G": sg},
+            opt_g=opt_g,
+            opt_f=opt_f,
+            rng=rng,
+        )
+        metrics = {
+            "loss_source": l_a, "loss_seg": seg_a, "loss_depth": dep_a,
+            "loss_b": l_b, "loss_dis": l_cs[-1], "lr": lr,
+        }
+        return new_state, metrics
+
+    return step

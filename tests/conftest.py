@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The sandbox's sitecustomize forces jax_platforms to "axon,cpu" regardless of
+# the env var; override through the config API so tests really run on the
+# 8-virtual-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: recompiling the DRN autodiff graphs dominates
 # test wall-clock otherwise.

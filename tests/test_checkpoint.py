@@ -1,0 +1,93 @@
+"""Checkpoint round-trip: params/opt/rng/step restore exactly; the model is
+rebuilt FROM THE EMBEDDED CONFIG (the reference's args-in-checkpoint public
+surface, SURVEY.md section 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcseg_tpu.core.config import DataConfig, ExperimentConfig, ModelConfig, TrainConfig
+from mcseg_tpu.models.factory import get_models
+from mcseg_tpu.train.mcd import make_mcd_step
+from mcseg_tpu.train.state import create_train_state
+from mcseg_tpu.utils.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+HW = (16, 16)
+
+
+def _exp_cfg():
+    return ExperimentConfig(
+        model=ModelConfig(net="drn_d_22", input_ch=3, n_class=4, dtype="float32"),
+        data=DataConfig(batch_size=2, train_img_shape=HW[::-1]),
+        train=TrainConfig(lr=0.01, num_k=2, max_steps=50),
+    )
+
+
+def _trees_equal(a, b, atol=0.0):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol)
+
+
+def test_roundtrip_exact(tmp_path):
+    cfg = _exp_cfg()
+    state, tx_g, tx_f = create_train_state(
+        cfg.model, cfg.train, jax.random.key(3), img_shape=HW
+    )
+    # advance one MCD step so optimizer states are non-trivial
+    g, f1, f2 = get_models(cfg.model)
+    step = jax.jit(make_mcd_step(g, f1, f2, tx_g, tx_f, cfg.train))
+    rng = np.random.RandomState(0)
+    xs = jnp.asarray(rng.rand(2, *HW, 3).astype(np.float32))
+    ys = jnp.asarray(rng.randint(0, 4, (2, *HW)))
+    xt = jnp.asarray(rng.rand(2, *HW, 3).astype(np.float32))
+    state, _ = step(state, xs, ys, xt)
+
+    prefix = str(tmp_path / "ep1")
+    save_checkpoint(prefix, state, cfg)
+    assert checkpoint_exists(prefix)
+
+    restored, cfg2 = load_checkpoint(prefix)
+    assert cfg2 == cfg  # the embedded config round-trips to equal dataclasses
+    assert int(restored.step) == int(state.step) == 1
+    _trees_equal(restored.params, state.params)
+    _trees_equal(restored.batch_stats, state.batch_stats)
+    _trees_equal(
+        jax.tree.leaves(restored.opt_g), jax.tree.leaves(state.opt_g)
+    )
+    np.testing.assert_array_equal(
+        jax.random.key_data(restored.rng), jax.random.key_data(state.rng)
+    )
+
+
+def test_resume_continues_identically(tmp_path):
+    """checkpoint -> restore -> step == keep stepping (deterministic resume)."""
+    cfg = _exp_cfg()
+    state, tx_g, tx_f = create_train_state(
+        cfg.model, cfg.train, jax.random.key(0), img_shape=HW
+    )
+    g, f1, f2 = get_models(cfg.model)
+    step = jax.jit(make_mcd_step(g, f1, f2, tx_g, tx_f, cfg.train))
+    rng = np.random.RandomState(1)
+    xs = jnp.asarray(rng.rand(2, *HW, 3).astype(np.float32))
+    ys = jnp.asarray(rng.randint(0, 4, (2, *HW)))
+    xt = jnp.asarray(rng.rand(2, *HW, 3).astype(np.float32))
+
+    state, _ = step(state, xs, ys, xt)
+    prefix = str(tmp_path / "mid")
+    save_checkpoint(prefix, state, cfg)
+
+    cont, _ = step(state, xs, ys, xt)
+    restored, _ = load_checkpoint(prefix)
+    resumed, _ = step(restored, xs, ys, xt)
+    _trees_equal(cont.params, resumed.params, atol=1e-7)
+
+
+def test_config_roundtrip_dicts():
+    cfg = _exp_cfg()
+    assert ExperimentConfig.from_dict(cfg.to_dict()) == cfg
