@@ -44,9 +44,10 @@ def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True):
             logits2 = apply_classifier(f2, params["F2"], feat, False)
             logits = 0.5 * (logits + logits2)
         b, lh, lw = label.shape
-        logits = jax.image.resize(
-            logits, (b, lh, lw, logits.shape[-1]), method="bilinear"
-        )
+        if (lh, lw) != logits.shape[1:3]:
+            from mcseg_tpu.ops.upsample import upsample_matmul
+
+            logits = upsample_matmul(logits, lh, lw, "resize")
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         hist = fast_hist(label, pred, n_class)
         return hist, pred

@@ -58,16 +58,23 @@ def upsample_bilinear_convt(x: jnp.ndarray, factor: int) -> jnp.ndarray:
 
 
 def upsample_logits(x: jnp.ndarray, factor: int, mode: str = "resize") -> jnp.ndarray:
-    """8x (or any) logits upsample. ``resize`` = XLA-native bilinear;
-    ``convt`` = reference-parity fixed transposed conv."""
+    """8x (or any) logits upsample, as separable MXU matmuls (ops/upsample.py).
+
+    Both modes are numerically exact matches of their references:
+    ``resize`` == jax.image.resize bilinear, ``convt`` == the reference's
+    fixed-bilinear ConvTranspose2d. The matmul formulation exists because
+    XLA's VJP of jax.image.resize is a ~50 ms scatter on v5e at 640x480 —
+    inside the MCD step (differentiated ~14x/iteration) that dominated
+    everything; the matmul transpose costs ~2 ms.
+    """
     if factor == 1:
         return x
-    if mode == "resize":
-        b, h, w, c = x.shape
-        return jax.image.resize(x, (b, h * factor, w * factor, c), method="bilinear")
-    if mode == "convt":
-        return upsample_bilinear_convt(x, factor)
-    raise ValueError(f"unknown upsample mode {mode!r}")
+    if mode not in ("resize", "convt"):
+        raise ValueError(f"unknown upsample mode {mode!r}")
+    from mcseg_tpu.ops.upsample import upsample_matmul
+
+    b, h, w, c = x.shape
+    return upsample_matmul(x, h * factor, w * factor, mode, out_dtype=x.dtype)
 
 
 class PixelClassifier(nn.Module):
@@ -94,8 +101,10 @@ class PixelClassifier(nn.Module):
             param_dtype=jnp.float32,
             name="score",
         )(feat)
-        x = x.astype(jnp.float32)
-        return upsample_logits(x, self.up_factor, self.upsample)
+        # upsample in compute dtype (bf16 matmuls with fp32 accumulation),
+        # hand fp32 logits to the loss
+        x = upsample_logits(x, self.up_factor, self.upsample)
+        return x.astype(jnp.float32)
 
 
 class DepthRegressor(nn.Module):
@@ -118,5 +127,5 @@ class DepthRegressor(nn.Module):
             param_dtype=jnp.float32,
             name="depth",
         )(feat)
-        x = x.astype(jnp.float32)
-        return upsample_logits(x, self.up_factor, self.upsample)
+        x = upsample_logits(x, self.up_factor, self.upsample)
+        return x.astype(jnp.float32)

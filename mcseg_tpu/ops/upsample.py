@@ -1,0 +1,83 @@
+"""MXU-native bilinear upsampling as separable banded matmuls.
+
+Why: the decoder upsamples 40-channel logits 8x in EVERY head pass, and the
+MCD step differentiates through it ~14 times per iteration. XLA's VJP of
+``jax.image.resize`` lowers to a scatter that costs ~50 ms per call on v5e at
+640x480 — it dominated the whole train step. A bilinear resize is a linear
+map, separable by axis:  up(x) = A_h @ x @ A_w^T  with banded interpolation
+matrices. As dense matmuls this is ~170 GFLOP per (batch 8) upsample — <2 ms
+on the MXU — and its transpose (the backward) is just the transposed matmuls,
+equally fast. 30x padding waste in FLOPs, 30x+ win in wall clock.
+
+Two weight conventions:
+  * 'resize' — half-pixel centers with edge clamp, matching
+    ``jax.image.resize(method='bilinear')`` exactly (tested).
+  * 'convt'  — the classic FCN fixed-bilinear ConvTranspose2d
+    (fill_up_weights, k=2f, stride f, pad f/2), matching the reference
+    decoder and our ``upsample_bilinear_convt`` exactly (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _interp_matrix_np(n_out: int, n_in: int, mode: str) -> np.ndarray:
+    a = np.zeros((n_out, n_in), np.float32)
+    if mode == "resize":
+        scale = n_in / n_out
+        for i in range(n_out):
+            src = (i + 0.5) * scale - 0.5
+            src = min(max(src, 0.0), n_in - 1.0)
+            lo = int(np.floor(src))
+            hi = min(lo + 1, n_in - 1)
+            w = src - lo
+            a[i, lo] += 1.0 - w
+            a[i, hi] += w
+    elif mode == "convt":
+        if n_out % n_in != 0:
+            raise ValueError("convt mode needs integer upsampling factor")
+        f = n_out // n_in
+        k = 2 * f
+        pad = f // 2
+        # fill_up_weights 1-D tap pattern
+        c = (2 * np.ceil(k / 2.0) - 1 - np.ceil(k / 2.0) % 2) / (2.0 * np.ceil(k / 2.0))
+        taps = 1 - np.abs(np.arange(k) / np.ceil(k / 2.0) - c)
+        # output i receives input j's tap at position (i + pad - j*f)
+        for i in range(n_out):
+            for j in range(n_in):
+                t = i + pad - j * f
+                if 0 <= t < k:
+                    a[i, j] += taps[t]
+    else:
+        raise ValueError(f"unknown upsample weight mode {mode!r}")
+    return a
+
+
+def interp_matrix(n_out: int, n_in: int, mode: str = "resize") -> jnp.ndarray:
+    return jnp.asarray(_interp_matrix_np(n_out, n_in, mode))
+
+
+def upsample_matmul(
+    x: jnp.ndarray,  # [B, h, w, C]
+    out_h: int,
+    out_w: int,
+    mode: Literal["resize", "convt"] = "resize",
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Separable bilinear resize as two MXU matmuls; exact-match to the
+    reference implementations per `mode` (see module docstring)."""
+    b, h, w, c = x.shape
+    ah = interp_matrix(out_h, h, mode).astype(x.dtype)
+    aw = interp_matrix(out_w, w, mode).astype(x.dtype)
+    # H pass: [H, h] x [B, h, w, C] -> [B, H, w, C]
+    y = jnp.einsum("Hh,bhwc->bHwc", ah, x, preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)
+    # W pass: [W, w] x [B, H, w, C] -> [B, H, W, C]
+    y = jnp.einsum("Ww,bHwc->bHWc", aw, y, preferred_element_type=jnp.float32)
+    return y.astype(out_dtype)

@@ -35,6 +35,19 @@ from mcseg_tpu.utils.logging import JsonlLogger, StepTimer
 from mcseg_tpu.utils.util import mkdir_if_not_exist
 
 
+def _check_finite(metrics, step) -> None:
+    """NaN guard (SURVEY.md section 5): fail fast with context instead of
+    silently training on garbage. Checked at log points only (free)."""
+    import numpy as np
+
+    for k, v in metrics.items():
+        if not np.all(np.isfinite(v)):
+            raise FloatingPointError(
+                f"non-finite metric {k}={v} at step {step}; "
+                "lower --lr or inspect the input pipeline"
+            )
+
+
 def _init_or_resume(cfg: ExperimentConfig):
     tw, th = cfg.data.train_img_shape
     if cfg.train.resume:
@@ -87,7 +100,9 @@ def train_source(
         state, metrics = full_step(state, raw)
         timer.tick(cfg.data.batch_size)
         if i % cfg.train.log_every == 0:
-            logger.log({"step": i, **jax.device_get(metrics),
+            host_metrics = jax.device_get(metrics)
+            _check_finite(host_metrics, i)
+            logger.log({"step": i, **host_metrics,
                         "img_per_sec": timer.items_per_sec})
         if (i + 1) % steps_per_epoch == 0:
             epoch = (i + 1) // steps_per_epoch
@@ -182,7 +197,9 @@ def train_multitask(
             state, metrics = full_step(state, item)
         timer.tick(cfg.data.batch_size)
         if i % cfg.train.log_every == 0:
-            logger.log({"step": i, **jax.device_get(metrics),
+            host_metrics = jax.device_get(metrics)
+            _check_finite(host_metrics, i)
+            logger.log({"step": i, **host_metrics,
                         "img_per_sec": timer.items_per_sec})
     save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
     return state
@@ -237,7 +254,9 @@ def train_adapt(
         state, metrics = full_step(state, src_raw, tgt_raw)
         timer.tick(cfg.data.batch_size)
         if i % cfg.train.log_every == 0:
-            logger.log({"step": i, **jax.device_get(metrics),
+            host_metrics = jax.device_get(metrics)
+            _check_finite(host_metrics, i)
+            logger.log({"step": i, **host_metrics,
                         "img_per_sec": timer.items_per_sec})
         if (i + 1) % steps_per_epoch == 0:
             epoch = (i + 1) // steps_per_epoch

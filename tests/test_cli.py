@@ -1,0 +1,77 @@
+"""CLI flag surface: reference command lines translate 1:1 into configs
+(SURVEY.md section 5 'config/flag system')."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mcseg_tpu.cli.argparse_compat import (
+    args_to_config,
+    fix_img_shape_args,
+    get_da_mcd_training_parser,
+    get_src_only_training_parser,
+    get_testing_parser,
+)
+
+
+def test_reference_style_adapt_command_parses():
+    argv = (
+        "suncg nyu --input_ch 6 --num_k 4 --net drn_d_38 --lr 1e-3 "
+        "--opt sgd --train_img_shape 640 480 --batch_size 8 --d_loss diff"
+    ).split()
+    args = get_da_mcd_training_parser().parse_args(argv)
+    cfg = args_to_config(args, adapt=True)
+    assert cfg.model.net == "drn_d_38"
+    assert cfg.model.input_ch == 6
+    assert cfg.model.n_class == 40  # nyu label space inferred
+    assert cfg.train.num_k == 4
+    assert cfg.data.train_img_shape == (640, 480)
+    assert cfg.data.src_dataset == "suncg" and cfg.data.tgt_dataset == "nyu"
+
+
+def test_gta5_to_city_gets_19_classes():
+    args = get_da_mcd_training_parser().parse_args(
+        "gta5 city --train_img_shape 1024 512".split()
+    )
+    cfg = args_to_config(args, adapt=True)
+    assert cfg.model.n_class == 19
+    assert cfg.data.train_img_shape == (1024, 512)
+
+
+def test_source_parser_defaults():
+    args = get_src_only_training_parser().parse_args(["nyu"])
+    cfg = args_to_config(args, adapt=False)
+    assert cfg.model.method == "source"
+    assert cfg.data.tgt_dataset == "nyu"
+
+
+def test_fix_img_shape_rounds_to_8():
+    assert fix_img_shape_args((641, 479)) == (648, 480)
+    assert fix_img_shape_args((640, 480)) == (640, 480)
+
+
+def test_testing_parser():
+    args = get_testing_parser().parse_args(["runs/x/last", "nyu", "--use_f2"])
+    assert args.checkpoint == "runs/x/last"
+    assert args.use_f2
+
+
+def test_bad_choice_rejected():
+    with pytest.raises(SystemExit):
+        get_da_mcd_training_parser().parse_args("suncg nyu --d_loss l2".split())
+
+
+def test_evaluate_preds_cli(tmp_path):
+    from mcseg_tpu.cli.evaluate_preds import main
+
+    pred_dir = tmp_path / "preds"
+    gt_dir = tmp_path / "gt"
+    pred_dir.mkdir()
+    gt_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        pred = rng.randint(0, 5, (16, 16)).astype(np.uint8)
+        Image.fromarray(pred).save(pred_dir / f"{i:06d}_label.png")
+        Image.fromarray(pred).save(gt_dir / f"{i:06d}.png")  # perfect match
+    miou = main([str(pred_dir), str(gt_dir), "--dataset", "nyu"])
+    assert miou == pytest.approx(1.0)
