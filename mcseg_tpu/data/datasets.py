@@ -102,6 +102,11 @@ class SegDataset:
             out["hha"] = self._decode_rgb(s["hha"])
         if "depth" in s:
             out["depth"] = self._decode_depth(s["depth"])
+        if "ir" in s:
+            ir = Image.open(s["ir"]).convert("L")
+            if ir.size != self.decode_size:
+                ir = ir.resize(self.decode_size, Image.BILINEAR)
+            out["ir"] = np.asarray(ir, np.uint8)
         return out
 
 
@@ -156,7 +161,7 @@ class _RgbDepthLabelDataset(SegDataset):
             lbl = self._find(root, f"{split}_label", stem)
             if lbl:
                 sample["label"] = lbl
-            for key in ("depth", "hha"):
+            for key in ("depth", "hha", "ir"):
                 q = self._find(root, f"{split}_{key}", stem)
                 if q:
                     sample[key] = q
@@ -174,6 +179,30 @@ class _RgbDepthLabelDataset(SegDataset):
 
 class NYUDv2Dataset(_RgbDepthLabelDataset):
     corpus = "nyu"
+    decode_size = (640, 480)
+
+
+class SynthiaDataset(SegDataset):
+    """SYNTHIA-RAND-CITYSCAPES: <root>/RGB/*.png + <root>/GT/LABELS/*.png
+    (labels remapped through the 16-class SYNTHIA->Cityscapes table)."""
+
+    corpus = "synthia"
+    decode_size = (1024, 512)
+
+    def _index(self, root: str, split: str):
+        imgs = sorted(glob.glob(os.path.join(root, "RGB", "*.png")))
+        return [
+            {"rgb": p,
+             "label": os.path.join(root, "GT", "LABELS", os.path.basename(p))}
+            for p in imgs
+        ]
+
+
+class IRDataset(_RgbDepthLabelDataset):
+    """Optional multispectral corpus (reference's IR option, SURVEY.md [?]):
+    same <split>_rgb/_label layout plus <split>_ir/ single-channel images."""
+
+    corpus = "ir"
     decode_size = (640, 480)
 
 
@@ -250,6 +279,8 @@ _CORPORA = {
     "gta5": GTA5Dataset,
     "nyu": NYUDv2Dataset,
     "nyudv2": NYUDv2Dataset,
+    "synthia": SynthiaDataset,
+    "ir": IRDataset,
     "suncg": SUNCGDataset,
     "synthetic": SyntheticDataset,
 }

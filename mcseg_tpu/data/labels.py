@@ -51,6 +51,24 @@ def cityscapes_id_to_train_table() -> np.ndarray:
     return table
 
 
+# -------------------------------------------------------------------- SYNTHIA
+# SYNTHIA-RAND-CITYSCAPES ids -> Cityscapes train ids (the standard 16-class
+# UDA subset used across the MCD-era literature; terrain/truck/train have no
+# SYNTHIA counterpart and stay ignored). Flagged [?] in SURVEY.md — verify
+# against the reference once readable.
+_SYNTHIA_TO_CITY_TRAIN = {
+    1: 10, 2: 2, 3: 0, 4: 1, 5: 4, 6: 8, 7: 5, 8: 13, 9: 7, 10: 11,
+    11: 18, 12: 17, 15: 6, 17: 12, 19: 15, 21: 3,
+}
+
+
+def synthia_to_train_table() -> np.ndarray:
+    table = np.full(256, IGNORE, dtype=np.uint8)
+    for k, v in _SYNTHIA_TO_CITY_TRAIN.items():
+        table[k] = v
+    return table
+
+
 # ------------------------------------------------------------------- NYU-40
 NYU40_NAMES = (
     "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
@@ -98,7 +116,9 @@ def remap(label: np.ndarray, table: np.ndarray) -> np.ndarray:
 def get_label_spec(dataset: str):
     """(n_class, remap_table, names, palette) per corpus."""
     d = dataset.lower()
-    if d in ("city", "cityscapes", "gta", "gta5", "synthia"):
+    if d == "synthia":
+        return 19, synthia_to_train_table(), CITYSCAPES_NAMES, CITYSCAPES_PALETTE
+    if d in ("city", "cityscapes", "gta", "gta5", "ir"):
         return 19, cityscapes_id_to_train_table(), CITYSCAPES_NAMES, CITYSCAPES_PALETTE
     if d in ("nyu", "nyudv2", "suncg", "synthetic"):
         return 40, nyu40_raw_to_train_table(), NYU40_NAMES, NYU40_PALETTE

@@ -36,6 +36,22 @@ from mcseg_tpu.data.transforms import HHA_MEAN, HHA_STD, RGB_MEAN, RGB_STD
 from mcseg_tpu.ops.hha import default_intrinsics, depth_to_hha_batch
 
 
+def apply_remap(label_u8: jnp.ndarray, table_np: np.ndarray) -> jnp.ndarray:
+    """Label remap as a compare/select chain instead of a table gather.
+
+    The 256-entry gather lowered to ~58 ms per batch on v5e at 24x480x640
+    (profiled); a select per mapped class (19 for Cityscapes, 40 for NYU) is
+    pure VPU and fuses with the surrounding preprocessing.
+    """
+    from mcseg_tpu.data.labels import IGNORE
+
+    label = label_u8.astype(jnp.int32)
+    out = jnp.full_like(label, IGNORE)
+    for raw in np.nonzero(table_np != IGNORE)[0]:
+        out = jnp.where(label == int(raw), int(table_np[raw]), out)
+    return out
+
+
 def _resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     b, _, _, c = x.shape
     return jax.image.resize(x, (b, hw[0], hw[1], c), method="bilinear")
@@ -91,7 +107,9 @@ def _extra_channels(batch: Dict[str, jnp.ndarray], input_ch: int) -> jnp.ndarray
             return (depth / dmax)[..., None]
         if has_hha:  # disparity channel as a 1-ch depth proxy
             return batch["hha"][..., 0:1].astype(jnp.float32) / 255.0
-    raise ValueError(f"input_ch={input_ch} needs 'hha' or 'depth' in the batch")
+        if "ir" in batch and batch["ir"] is not None:  # multispectral 4th ch
+            return batch["ir"].astype(jnp.float32)[..., None] / 255.0
+    raise ValueError(f"input_ch={input_ch} needs 'hha'/'depth'/'ir' in the batch")
 
 
 def make_train_preprocess(cfg: DataConfig, hha_ignore_aspect: bool = True) -> Callable:
@@ -112,19 +130,18 @@ def make_train_preprocess(cfg: DataConfig, hha_ignore_aspect: bool = True) -> Ca
                int(np.ceil(tw / np.sqrt(cfg.crop_scale_min))))
     else:
         pre = target
-    _, remap_np, _, _ = get_label_spec(cfg.src_dataset)
-    remap_src = jnp.asarray(remap_np)
+    _, remap_src_np, _, _ = get_label_spec(cfg.src_dataset)
     needs_hha = cfg.input_ch in (4, 6) or (cfg.input_ch == 1)
 
     def preprocess(batch: Dict[str, jnp.ndarray], key: jax.Array,
-                   remap_table: Optional[jnp.ndarray] = None):
-        table = remap_src if remap_table is None else remap_table
+                   remap_table: Optional[np.ndarray] = None):
+        table = remap_src_np if remap_table is None else np.asarray(remap_table)
         img_u8 = batch["image"]
         label_u8 = batch["label"]
         b = img_u8.shape[0]
 
         rgb = img_u8.astype(jnp.float32) / 255.0
-        label = table[label_u8.astype(jnp.int32)].astype(jnp.int32)
+        label = apply_remap(label_u8, table)
 
         extra = _extra_channels(batch, cfg.input_ch) if needs_hha else None
 
@@ -167,15 +184,14 @@ def make_eval_preprocess(cfg: DataConfig) -> Callable:
     SURVEY.md section 3.3)."""
     tw, th = cfg.test_img_shape
     target = (th, tw)
-    _, remap_np, _, _ = get_label_spec(cfg.tgt_dataset)
-    remap_tbl = jnp.asarray(remap_np)
+    _, remap_tbl_np, _, _ = get_label_spec(cfg.tgt_dataset)
     needs_hha = cfg.input_ch in (4, 6) or (cfg.input_ch == 1)
 
     def preprocess(batch: Dict[str, jnp.ndarray],
-                   remap_table: Optional[jnp.ndarray] = None):
-        table = remap_tbl if remap_table is None else remap_table
+                   remap_table: Optional[np.ndarray] = None):
+        table = remap_tbl_np if remap_table is None else np.asarray(remap_table)
         rgb = batch["image"].astype(jnp.float32) / 255.0
-        label = table[batch["label"].astype(jnp.int32)].astype(jnp.int32)
+        label = apply_remap(batch["label"], table)
         extra = _extra_channels(batch, cfg.input_ch) if needs_hha else None
         rgb = _resize_bilinear(rgb, target)
         if extra is not None:

@@ -59,7 +59,7 @@ def make_mcd_step(
         src_label: jnp.ndarray,  # [B, H, W]
         tgt_img: jnp.ndarray,  # [B, H, W, C]
     ):
-        rng, ka, kb, kc = jax.random.split(state.rng, 4)
+        rng, ka, kb1, kb2, kc = jax.random.split(state.rng, 5)
         lr = lr_fn(state.step)
         opt_g = set_lr(state.opt_g, lr)
         opt_f = set_lr(state.opt_f, lr)
@@ -86,8 +86,8 @@ def make_mcd_step(
 
         # ------- STEP B: maximize discrepancy wrt classifiers (G frozen) ----
         def loss_b(pf_, sg_):
-            feat_s, sg_ = apply_generator(g, pg, sg_, src_img, True, kb)
-            feat_t, sg_ = apply_generator(g, pg, sg_, tgt_img, True, kb)
+            feat_s, sg_ = apply_generator(g, pg, sg_, src_img, True, kb1)
+            feat_t, sg_ = apply_generator(g, pg, sg_, tgt_img, True, kb2)
             o1s = apply_classifier(f1, pf_["F1"], feat_s, True)
             o2s = apply_classifier(f2, tie(pf_["F2"], pf_["F1"]), feat_s, True)
             o1t = apply_classifier(f1, pf_["F1"], feat_t, True)

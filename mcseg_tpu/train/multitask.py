@@ -125,7 +125,7 @@ def make_multitask_mcd_step(
     lr_fn = make_lr_schedule(cfg.lr_schedule, cfg.lr, cfg.max_steps, cfg.lr_power)
 
     def step(state: MCDTrainState, src_img, src_label, src_depth, tgt_img):
-        rng, ka, kb, kc = jax.random.split(state.rng, 4)
+        rng, ka, kb1, kb2, kc = jax.random.split(state.rng, 5)
         lr = lr_fn(state.step)
         opt_g = set_lr(state.opt_g, lr)
         opt_f = set_lr(state.opt_f, lr)
@@ -154,8 +154,8 @@ def make_multitask_mcd_step(
 
         # STEP B (classifiers only)
         def loss_b(pf_, sg_):
-            feat_s, sg_ = apply_generator(g, pg, sg_, src_img, True, kb)
-            feat_t, sg_ = apply_generator(g, pg, sg_, tgt_img, True, kb)
+            feat_s, sg_ = apply_generator(g, pg, sg_, src_img, True, kb1)
+            feat_t, sg_ = apply_generator(g, pg, sg_, tgt_img, True, kb2)
             o1s = apply_classifier(f1, pf_["F1"], feat_s, True)
             o2s = apply_classifier(f2, pf_["F2"], feat_s, True)
             o1t = apply_classifier(f1, pf_["F1"], feat_t, True)
