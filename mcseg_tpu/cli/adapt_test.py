@@ -38,6 +38,7 @@ def main(argv=None, average_classifiers=True):
         state, cfg, dataset,
         average_classifiers=average_classifiers or args.use_f2,
         save_dir=args.outdir,
+        saves_prob=args.saves_prob,
     )
     return miou
 

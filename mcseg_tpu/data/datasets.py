@@ -70,19 +70,48 @@ class SegDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
+    # Decode goes through the native C++ library (mcseg_tpu/native: libpng/
+    # libjpeg straight into preallocated buffers, ~3x faster than PIL on this
+    # host — and host decode is the input ceiling at TPU train rates) with a
+    # PIL fallback per call. MCSEG_NO_NATIVE=1 disables it.
+
     def _decode_rgb(self, path: str) -> np.ndarray:
+        from mcseg_tpu import native
+
+        w, h = self.decode_size
+        if native.available():
+            try:
+                return native.decode_rgb(path, h, w)
+            except IOError:
+                pass
         img = Image.open(path).convert("RGB")
         if img.size != self.decode_size:
             img = img.resize(self.decode_size, Image.BILINEAR)
         return np.asarray(img, np.uint8)
 
     def _decode_label(self, path: str) -> np.ndarray:
+        from mcseg_tpu import native
+
+        w, h = self.decode_size
+        if native.available():
+            try:
+                return native.decode_gray(path, h, w)
+            except IOError:
+                pass
         lbl = Image.open(path)
         if lbl.size != self.decode_size:
             lbl = lbl.resize(self.decode_size, Image.NEAREST)
         return np.asarray(lbl, np.uint8)
 
     def _decode_depth(self, path: str) -> np.ndarray:
+        from mcseg_tpu import native
+
+        w, h = self.decode_size
+        if native.available():
+            try:
+                return native.decode_depth16(path, h, w)
+            except IOError:
+                pass
         d = Image.open(path)
         if d.size != self.decode_size:
             d = d.resize(self.decode_size, Image.NEAREST)

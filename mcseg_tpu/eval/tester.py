@@ -29,8 +29,11 @@ from mcseg_tpu.train.apply import apply_classifier, apply_generator
 from mcseg_tpu.utils.util import mkdir_if_not_exist
 
 
-def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True):
-    """Build the jit'd (params, batch_stats, raw_batch) -> (hist, preds) step."""
+def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True,
+                   return_probs: bool = False):
+    """Build the jit'd (params, batch_stats, raw_batch) -> (hist, preds[, probs])
+    step. ``return_probs`` adds the softmax probability maps (the reference's
+    --saves_prob option, SURVEY.md section 3.3)."""
     g, f1, f2 = get_models(cfg.model)
     pp = make_eval_preprocess(cfg.data)
     n_class = cfg.model.n_class
@@ -50,6 +53,8 @@ def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True):
             logits = upsample_matmul(logits, lh, lw, "resize")
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         hist = fast_hist(label, pred, n_class)
+        if return_probs:
+            return hist, pred, jax.nn.softmax(logits, axis=-1)
         return hist, pred
 
     return eval_step
@@ -63,6 +68,7 @@ def evaluate(
     save_dir: Optional[str] = None,
     max_batches: Optional[int] = None,
     print_table: bool = True,
+    saves_prob: bool = False,
 ):
     """Run evaluation; returns (miou, hist, table_str)."""
     if hasattr(state_or_params, "params"):
@@ -71,7 +77,7 @@ def evaluate(
         params, batch_stats = state_or_params
     dataset = dataset or get_dataset(cfg.data.tgt_dataset, cfg.data, "val")
     _, _, names, palette = get_label_spec(cfg.data.tgt_dataset)
-    step = make_eval_step(cfg, average_classifiers)
+    step = make_eval_step(cfg, average_classifiers, return_probs=saves_prob)
 
     n_class = cfg.model.n_class
     total = jnp.zeros((n_class, n_class), jnp.int32)
@@ -81,7 +87,11 @@ def evaluate(
     ):
         if max_batches is not None and bi >= max_batches:
             break
-        hist, pred = step(params, batch_stats, raw)
+        if saves_prob:
+            hist, pred, probs = step(params, batch_stats, raw)
+        else:
+            hist, pred = step(params, batch_stats, raw)
+            probs = None
         total = total + hist
         if save_dir:
             from mcseg_tpu.data.transforms import save_color_png, save_label_png
@@ -92,6 +102,9 @@ def evaluate(
                 idx = bi * bs + k
                 save_label_png(pred_np[k], os.path.join(save_dir, f"{idx:06d}_label.png"))
                 save_color_png(pred_np[k], palette, os.path.join(save_dir, f"{idx:06d}_color.png"))
+                if probs is not None:
+                    np.save(os.path.join(save_dir, f"{idx:06d}_prob.npy"),
+                            np.asarray(probs[k], dtype=np.float16))
 
     total = np.asarray(jax.device_get(total))
     table = format_iou_table(total, names[: n_class])
