@@ -24,7 +24,7 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    help="default: label space of the (target) dataset")
     p.add_argument("--fusion", default="single", choices=["single", "early", "late"])
     p.add_argument("--uses_one_classifier", action="store_true")
-    p.add_argument("--upsample", default="resize", choices=["resize", "convt"])
+    p.add_argument("--upsample", default="convt", choices=["resize", "convt"])
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
 
 

@@ -38,10 +38,11 @@ class ModelConfig:
     uses_one_classifier: bool = False  # reference ablation flag [SURVEY 2]
     # TPU numerics: bf16 activations/matmuls, fp32 params & batch stats.
     dtype: str = "bfloat16"
-    # Upsampling for the pixel classifier: 'resize' = jax.image bilinear
-    # (XLA-native, default) | 'convt' = fixed-bilinear transposed conv
-    # (bit-parity with the reference's fill_up_weights ConvTranspose2d).
-    upsample: str = "resize"
+    # Pixel-classifier upsampling weights (both run as MXU matmuls, see
+    # ops/upsample.py): 'convt' = the reference's fixed-bilinear
+    # ConvTranspose2d (fill_up_weights) — bit-exact parity, default |
+    # 'resize' = jax.image.resize half-pixel bilinear.
+    upsample: str = "convt"
 
     def to_dict(self):
         return _asdict(self)

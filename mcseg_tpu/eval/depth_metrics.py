@@ -1,0 +1,28 @@
+"""Depth-estimation metrics for the multitask variant's auxiliary head:
+RMSE, absolute-relative error, and delta<1.25 accuracy (the standard
+monocular-depth triple)."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+
+def depth_metrics(
+    pred: jnp.ndarray,  # [B, H, W, 1] or [B, H, W] predicted depth (same units as target)
+    target: jnp.ndarray,  # [B, H, W]
+    min_depth: float = 1e-3,
+) -> Dict[str, jnp.ndarray]:
+    if pred.ndim == target.ndim + 1:
+        pred = pred[..., 0]
+    valid = jnp.isfinite(target) & (target > min_depth)
+    n = jnp.maximum(valid.sum(), 1).astype(jnp.float32)
+    p = jnp.where(valid, pred, 1.0)
+    t = jnp.where(valid, target, 1.0)
+    err = jnp.where(valid, p - t, 0.0)
+    rmse = jnp.sqrt((err**2).sum() / n)
+    abs_rel = (jnp.where(valid, jnp.abs(err) / t, 0.0)).sum() / n
+    ratio = jnp.maximum(p / t, t / p)
+    d125 = (jnp.where(valid, ratio < 1.25, False)).sum() / n
+    return {"rmse": rmse, "abs_rel": abs_rel, "delta_1.25": d125}

@@ -21,7 +21,6 @@ import numpy as np
 from mcseg_tpu.core.config import ExperimentConfig
 from mcseg_tpu.data.datasets import get_dataset
 from mcseg_tpu.data.labels import get_label_spec
-from mcseg_tpu.data.pipeline import batch_iterator
 from mcseg_tpu.eval.metrics import fast_hist, format_iou_table, miou_from_hist
 from mcseg_tpu.models.factory import get_models
 from mcseg_tpu.ops.preprocess import make_eval_preprocess
@@ -82,9 +81,25 @@ def evaluate(
     n_class = cfg.model.n_class
     total = jnp.zeros((n_class, n_class), jnp.int32)
     bs = min(cfg.data.batch_size, len(dataset))
-    for bi, raw in enumerate(
-        batch_iterator(dataset, bs, shuffle=False, drop_last=True, epochs=1)
-    ):
+
+    def _padded_batches():
+        """Full static-shape batches over ALL samples: the tail batch is
+        padded with copies whose labels are set to ignore, so padding
+        contributes nothing to the confusion matrix (the reference evaluates
+        every test image; dropping the tail would skew mIoU)."""
+        n = len(dataset)
+        for start in range(0, n, bs):
+            idx = list(range(start, min(start + bs, n)))
+            samples = [dataset[i] for i in idx]
+            n_pad = bs - len(samples)
+            samples += [samples[-1]] * n_pad
+            batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            if n_pad:
+                batch["label"] = batch["label"].copy()
+                batch["label"][len(idx):] = 255
+            yield batch, len(idx)
+
+    for bi, (raw, n_real) in enumerate(_padded_batches()):
         if max_batches is not None and bi >= max_batches:
             break
         if saves_prob:
@@ -98,7 +113,7 @@ def evaluate(
 
             mkdir_if_not_exist(save_dir)
             pred_np = np.asarray(pred)
-            for k in range(pred_np.shape[0]):
+            for k in range(n_real):
                 idx = bi * bs + k
                 save_label_png(pred_np[k], os.path.join(save_dir, f"{idx:06d}_label.png"))
                 save_color_png(pred_np[k], palette, os.path.join(save_dir, f"{idx:06d}_color.png"))

@@ -68,3 +68,21 @@ def test_multitask_mcd_step_runs():
         for a, b in zip(jax.tree.leaves(d0), jax.tree.leaves(state.params["D"]))
     )
     assert changed  # depth head updated in step A
+
+
+def test_depth_metrics():
+    import jax.numpy as jnp
+    from mcseg_tpu.eval.depth_metrics import depth_metrics
+
+    t = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8).astype(np.float32) + 0.5)
+    m = depth_metrics(t[..., None], t)
+    assert float(m["rmse"]) < 1e-6
+    assert float(m["abs_rel"]) < 1e-6
+    assert float(m["delta_1.25"]) == 1.0
+    m2 = depth_metrics(t[..., None] * 1.5, t)
+    assert float(m2["abs_rel"]) > 0.4
+    assert float(m2["delta_1.25"]) == 0.0
+    # invalid pixels excluded
+    t3 = t.at[0, 0, 0].set(0.0)
+    m3 = depth_metrics(t[..., None], t3)
+    assert float(m3["rmse"]) < 1e-6

@@ -1,0 +1,49 @@
+"""Evaluator behavior: tail samples are NOT dropped (padded with ignore), the
+hist covers every image exactly once, prob dumps work."""
+
+import glob
+
+import jax
+import numpy as np
+
+from mcseg_tpu.core.config import DataConfig, ExperimentConfig, ModelConfig, TrainConfig
+from mcseg_tpu.data.datasets import SyntheticDataset
+from mcseg_tpu.eval.tester import evaluate
+from mcseg_tpu.train.state import create_train_state
+
+
+def _setup(n_samples, bs):
+    cfg = ExperimentConfig(
+        model=ModelConfig(net="drn_d_22", input_ch=3, n_class=40, dtype="float32"),
+        data=DataConfig(src_dataset="synthetic", tgt_dataset="synthetic",
+                        batch_size=bs, train_img_shape=(32, 32),
+                        test_img_shape=(32, 32), input_ch=3,
+                        max_samples=n_samples),
+        train=TrainConfig(),
+    )
+    state, _, _ = create_train_state(cfg.model, cfg.train, jax.random.key(0),
+                                     img_shape=(32, 32))
+    ds = SyntheticDataset(cfg.data, "val")
+    return cfg, state, ds
+
+
+def test_all_samples_counted_with_ragged_tail(tmp_path):
+    cfg, state, ds = _setup(n_samples=5, bs=2)  # 5 = 2+2+1 (ragged)
+    miou, hist, _ = evaluate(state, cfg, ds, print_table=False,
+                             save_dir=str(tmp_path / "p"))
+    # every non-void pixel of all 5 images appears exactly once in the hist
+    expected = sum(int((ds[i]["label"] != 0).sum()) for i in range(5))
+    assert int(hist.sum()) == expected
+    # PNG dumps exist for exactly the 5 real samples
+    assert len(glob.glob(str(tmp_path / "p" / "*_label.png"))) == 5
+
+
+def test_saves_prob_dumps(tmp_path):
+    cfg, state, ds = _setup(n_samples=2, bs=2)
+    evaluate(state, cfg, ds, print_table=False,
+             save_dir=str(tmp_path / "p"), saves_prob=True)
+    probs = sorted(glob.glob(str(tmp_path / "p" / "*_prob.npy")))
+    assert len(probs) == 2
+    arr = np.load(probs[0])
+    assert arr.shape == (32, 32, 40)
+    np.testing.assert_allclose(arr.sum(-1), 1.0, atol=2e-2)  # fp16 softmax
