@@ -1,19 +1,24 @@
-"""Pallas TPU kernel: fused uint8 -> normalized multichannel stack (+ flip).
+"""Pallas TPU kernel: fused uint8 -> normalized multichannel stack.
 
 The memory-bound tail of the preprocessing pipeline (SURVEY.md section 3.4's
 ToTensor/Normalize/cat): consume the uint8 RGB batch and the [0,1] extra
-channels (HHA or depth), emit the normalized stacked training tensor, with the
-per-sample horizontal flip folded in — one pass over HBM instead of XLA's
-(convert, sub, div, reverse, concat) chain when it fails to fuse across the
-concatenate.
+channels (HHA or depth), emit the normalized stacked training tensor in one
+pass over HBM.
 
-Layout: the kernel processes one (batch, H-tile) block per program with the
-W dimension on the vector lanes. Channels stay minor-dim; C in {1,3,4,6} is
-below the 128-lane tile so blocks are (TILE_H, W, C) with W x C flattened into
-lanes by Mosaic. Flip reverses W inside VMEM (a lane shuffle), selected per
-sample via the prefetched flip vector.
+The per-sample horizontal flip happens OUTSIDE the kernel on the uint8 inputs
+(1 byte/pixel — cheaper than flipping the f32 result, and Mosaic has no `rev`
+lowering). Layout: one (batch, H-tile) block per program; W x C flatten onto
+the vector lanes.
 
 Falls back to interpret mode off-TPU so tests validate numerics on CPU.
+
+MEASURED VERDICT (v5e, 24x480x640, input_ch=6): pallas 91.1 ms vs XLA 7.3 ms.
+The C=6 minor dimension occupies 6 of 128 vector lanes per tile, so this
+kernel wastes ~95% of the VPU; XLA's own elementwise fusion lays the data out
+properly and is 12.5x faster. Production preprocessing therefore uses the
+plain-XLA path (ops/preprocess.py) — per the TPU playbook: don't hand-schedule
+what the compiler already does better. The kernel stays as a tested example +
+baseline for future layout experiments (e.g. channel-planar batches).
 """
 
 from __future__ import annotations
@@ -46,9 +51,9 @@ def _build_mean_std(input_ch: int):
     return mean.astype(np.float32), std.astype(np.float32)
 
 
-def _kernel(flip_ref, rgb_ref, extra_ref, out_ref, *, mean, std, input_ch, out_dtype):
-    b = pl.program_id(0)
-    rgb01 = rgb_ref[0].astype(jnp.float32) * (1.0 / 255.0)  # [TH, W, 3]
+def _kernel(rgb_ref, extra_ref, out_ref, *, mean, std, input_ch, out_dtype):
+    # Mosaic has no direct u8->f32 cast; widen through int32 first.
+    rgb01 = rgb_ref[0].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     if input_ch == 3:
         x = rgb01
     elif input_ch == 1:
@@ -61,13 +66,18 @@ def _kernel(flip_ref, rgb_ref, extra_ref, out_ref, *, mean, std, input_ch, out_d
         [(x[..., c] - mean[c]) * (1.0 / std[c]) for c in range(input_ch)],
         axis=-1,
     )
-    flip = flip_ref[b]
-    x = jax.lax.cond(flip > 0, lambda v: v[:, ::-1, :], lambda v: v, x)
     out_ref[0] = x.astype(out_dtype)
 
 
-def _no_extra_adapter(kern, flip_ref, rgb_ref, out_ref, **kw):
-    return kern(flip_ref, rgb_ref, None, out_ref, **kw)
+def _no_extra_adapter(kern, rgb_ref, out_ref, **kw):
+    return kern(rgb_ref, None, out_ref, **kw)
+
+
+def _flip_u8(x, flip):
+    if x is None:
+        return None
+    mask = (flip > 0).reshape((-1,) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x[:, :, ::-1], x)
 
 
 @functools.partial(jax.jit, static_argnames=("input_ch", "out_dtype", "interpret"))
@@ -82,6 +92,10 @@ def fused_normalize_stack(
     b, h, w, _ = rgb_u8.shape
     mean, std = _build_mean_std(input_ch)
     has_extra = extra01 is not None and extra01.shape[-1] > 0
+
+    rgb_u8 = _flip_u8(rgb_u8, flip)
+    if has_extra:
+        extra01 = _flip_u8(extra01, flip)
 
     tile_h = 8 if h % 8 == 0 else h
     grid = (b, h // tile_h)
@@ -99,7 +113,7 @@ def fused_normalize_stack(
     def _block(c):
         return pl.BlockSpec(
             (1, tile_h, w, c),
-            lambda b, i, flip: (b, i, 0, 0),
+            lambda b, i: (b, i, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -111,15 +125,12 @@ def fused_normalize_stack(
 
     return pl.pallas_call(
         kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=_block(input_ch),
-        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=_block(input_ch),
         out_shape=jax.ShapeDtypeStruct((b, h, w, input_ch), out_dtype),
         interpret=interpret,
-    )(flip.astype(jnp.int32), *operands)
+    )(*operands)
 
 
 def reference_normalize_stack(rgb_u8, extra01, flip, input_ch=3, out_dtype=jnp.float32):
