@@ -316,10 +316,20 @@ _CORPORA = {
 
 
 def get_dataset(name: str, cfg: DataConfig, split: str = "train") -> SegDataset:
-    """Factory — the reference's ``datasets.get_dataset`` surface."""
+    """Factory — the reference's ``datasets.get_dataset`` surface.
+
+    ``data_root`` convention for UDA pairs (two corpora, one flag): if
+    ``<data_root>/<name>/`` exists it is used as that corpus's root, so
+    e.g. --data_root /data works with /data/gta5 and /data/city side by side.
+    """
+    import dataclasses
+
     key = name.lower()
     if key not in _CORPORA:
         raise ValueError(f"unknown dataset {name!r}; options: {sorted(set(_CORPORA))}")
+    sub = os.path.join(cfg.data_root, key)
+    if os.path.isdir(sub):
+        cfg = dataclasses.replace(cfg, data_root=sub)
     return _CORPORA[key](cfg, split)
 
 
