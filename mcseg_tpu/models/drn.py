@@ -69,6 +69,10 @@ def _conv(
         use_bias=False,
         dtype=dtype,
         param_dtype=jnp.float32,
+        # DRN init convention: N(0, sqrt(2 / (k*k*out_ch))) — Kaiming-normal
+        # with fan_out (he init as used by the ResNet/DRN family) rather than
+        # flax's lecun_normal, for from-scratch convergence parity.
+        kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
         name=name,
     )
 

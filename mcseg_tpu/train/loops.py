@@ -135,6 +135,9 @@ def train_multitask(
     out_dir = mkdir_if_not_exist(cfg.train.out_dir)
     tw, th = cfg.data.train_img_shape
 
+    # TODO(round 2): --resume for multitask needs a load path aware of the
+    # extra 'D' (depth head) parameter subtree; train_source/train_adapt
+    # already support it.
     state, tx_g, tx_f, d_head = init_multitask_state(
         cfg.model, cfg.train, jax.random.key(cfg.train.seed), img_shape=(th, tw)
     )

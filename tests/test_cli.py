@@ -75,3 +75,26 @@ def test_evaluate_preds_cli(tmp_path):
         Image.fromarray(pred).save(gt_dir / f"{i:06d}.png")  # perfect match
     miou = main([str(pred_dir), str(gt_dir), "--dataset", "nyu"])
     assert miou == pytest.approx(1.0)
+
+
+def test_early_fusion_maps_to_single_trunk():
+    """--fusion early is channel-concat into one widened trunk — identical
+    model graph to 'single' with input_ch=6 (SURVEY.md fusion modes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcseg_tpu.core.config import ModelConfig
+    from mcseg_tpu.models.factory import get_models, init_models
+
+    cfg_e = ModelConfig(net="drn_d_22", input_ch=6, fusion="early", dtype="float32")
+    cfg_s = ModelConfig(net="drn_d_22", input_ch=6, fusion="single", dtype="float32")
+    ve = init_models(cfg_e, jax.random.key(0), img_shape=(16, 16))
+    vs = init_models(cfg_s, jax.random.key(0), img_shape=(16, 16))
+    te = jax.tree.structure(ve)
+    ts = jax.tree.structure(vs)
+    assert te == ts
+    g, f1, _ = get_models(cfg_e)
+    x = jnp.ones((1, 16, 16, 6))
+    gv = {"params": ve["params"]["G"], "batch_stats": ve["batch_stats"]["G"]}
+    feat = g.apply(gv, x, False)
+    assert feat.shape == (1, 2, 2, 512)

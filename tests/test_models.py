@@ -109,3 +109,34 @@ def test_uses_one_classifier_config_roundtrip():
     cfg = ModelConfig(uses_one_classifier=True)
     d = cfg.to_dict()
     assert ModelConfig.from_dict(d) == cfg
+
+
+def test_drn_d_54_bottleneck_forward():
+    cfg = ModelConfig(net="drn_d_54", input_ch=3, n_class=4, dtype="float32")
+    feat, logits = _fwd(cfg, hw=(16, 16))
+    assert feat.shape == (1, 2, 2, 512)
+    assert logits.shape == (1, 16, 16, 4)
+
+
+def test_psp_net_forward():
+    cfg = ModelConfig(net="psp", input_ch=3, n_class=4, dtype="float32")
+    hw = (48, 48)  # PPM pooling wants a few multiples of the bin sizes
+    variables = init_models(cfg, jax.random.key(0), img_shape=hw)
+    g, f1, _ = get_models(cfg)
+    x = jnp.ones((1, *hw, 3), jnp.float32)
+    gv = {"params": variables["params"]["G"], "batch_stats": variables["batch_stats"]["G"]}
+    feat = g.apply(gv, x, False)
+    assert feat.shape == (1, 6, 6, 512)
+    o = f1.apply({"params": variables["params"]["F1"]}, feat, False)
+    assert o.shape == (1, 48, 48, 4)
+
+
+def test_conv_init_is_kaiming_fan_out():
+    """DRN init convention: std ~ sqrt(2/(k*k*out_ch))."""
+    import numpy as np
+
+    cfg = ModelConfig(net="drn_d_22", input_ch=3, n_class=4, dtype="float32")
+    variables = init_models(cfg, jax.random.key(1), img_shape=(16, 16))
+    k = np.asarray(variables["params"]["G"]["layer3"]["block0"]["conv1"]["kernel"])
+    expected_std = (2.0 / (3 * 3 * k.shape[-1])) ** 0.5
+    assert abs(k.std() / expected_std - 1.0) < 0.15
