@@ -28,7 +28,12 @@ def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
     """1-D data-parallel mesh. ``n_devices=None`` uses all local devices —
     a v5e-8 host yields Mesh((8,), ('data',)) with collectives riding ICI."""
     if devices is None:
-        devices = jax.devices()
+        try:
+            devices = jax.devices()
+        except RuntimeError:
+            # Broken/unavailable default backend (e.g. a TPU tunnel with a
+            # libtpu version mismatch) must not kill a CPU-only dryrun.
+            devices = jax.devices("cpu")
         if n_devices is not None and n_devices > len(devices):
             # Simulated multi-chip: fall back to host CPU devices (present when
             # --xla_force_host_platform_device_count is set) so sharding tests
