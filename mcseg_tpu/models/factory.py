@@ -29,7 +29,10 @@ from mcseg_tpu.models.heads import PixelClassifier
 
 
 def _dtype_of(cfg: ModelConfig):
-    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    # float64 exists only as a CPU test oracle (requires jax_enable_x64);
+    # production dtypes are bfloat16 (TPU) and float32.
+    table = {"bfloat16": jnp.bfloat16, "float64": jnp.float64}
+    return table.get(cfg.dtype, jnp.float32)
 
 
 def get_models(cfg: ModelConfig) -> Tuple[nn.Module, nn.Module, nn.Module]:

@@ -69,6 +69,28 @@ def _setup():
 
 
 def test_sharded_step_matches_single_device():
+    """Sharded-vs-single equivalence, judged against a float64 oracle.
+
+    The 1-device and 8-device fp32 runs reduce gradients in different orders,
+    so they differ by fp32 rounding noise — comparing them to each other with
+    a hand-tuned atol is unprincipled (and was flaky). Instead, run the SAME
+    step with float64 compute (same fp32 parameter values) as ground truth and
+    assert the sharded run is no farther from the truth than a small multiple
+    of the single-device run's own fp32 rounding error. A real sharding bug
+    (wrong psum, missing shard, double-counted gradient) produces an error
+    orders of magnitude above this bound.
+    """
+    import contextlib
+    import dataclasses
+
+    @contextlib.contextmanager
+    def enable_x64():
+        jax.config.update("jax_enable_x64", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
     state, step, img, label = _setup()
 
     # single device (default placement)
@@ -81,14 +103,54 @@ def test_sharded_step_matches_single_device():
     label8 = jax.device_put(label, batch_sharding(mesh))
     s8, m8 = step(state8, img8, label8)
 
-    np.testing.assert_allclose(
-        float(m1["loss"]), float(m8["loss"]), rtol=2e-5, atol=1e-6
-    )
-    # psum over 8 shards reduces in a different order than one big reduction;
-    # allow reduction-order float noise (absolute, not relative — BN biases
-    # sit near zero after one update)
-    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-4)
+    # float64 oracle: identical parameter values, float64 compute everywhere.
+    with enable_x64():
+        mcfg64 = dataclasses.replace(
+            ModelConfig(net="drn_d_22", input_ch=3, n_class=NCLASS, dtype="float64")
+        )
+        tcfg = TrainConfig(lr=0.01, lr_schedule="constant", max_steps=100)
+        _, tx_g, tx_f = create_train_state(
+            ModelConfig(net="drn_d_22", input_ch=3, n_class=NCLASS, dtype="float32"),
+            tcfg, jax.random.key(0), img_shape=HW,
+        )
+        g64, f164, f264 = get_models(mcfg64)
+        step64 = jax.jit(make_source_step(g64, f164, f264, tx_g, tx_f, tcfg))
+
+        def _to64(t):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.float64) if x.dtype == jnp.float32 else x, t
+            )
+
+        s64, m64 = step64(_to64(state), img.astype(jnp.float64), label)
+
+    loss64 = float(m64["loss"])
+    err1_loss = abs(float(m1["loss"]) - loss64)
+    err8_loss = abs(float(m8["loss"]) - loss64)
+    assert err8_loss <= 4 * err1_loss + 1e-6 * (1 + abs(loss64))
+
+    leaves64 = jax.tree.leaves(s64.params)
+    leaves1 = jax.tree.leaves(s1.params)
+    leaves8 = jax.tree.leaves(s8.params)
+    assert len(leaves64) == len(leaves1) == len(leaves8)
+    err1 = np.array([
+        np.max(np.abs(np.asarray(a, np.float64) - np.asarray(o, np.float64)))
+        for o, a in zip(leaves64, leaves1)
+    ])
+    err8 = np.array([
+        np.max(np.abs(np.asarray(b, np.float64) - np.asarray(o, np.float64)))
+        for o, b in zip(leaves64, leaves8)
+    ])
+    # Model-wide: the sharded run must be no farther from the fp64 truth than
+    # a few x the single-device run's own fp32 rounding error.
+    assert err8.max() <= 4 * err1.max() + 1e-6, (err1.max(), err8.max())
+    # Per-leaf: where the 1-device error is incidentally ~0, the leaf may
+    # still carry noise up to the model-wide fp32 rounding scale (reduction
+    # trees differ leaf by leaf), plus an eps*|param| floor. A real sharding
+    # bug (wrong/missing psum, double-counted shard) shows up at the update
+    # scale ~lr*grad, orders of magnitude above this.
+    for i, (o, e1, e8) in enumerate(zip(leaves64, err1, err8)):
+        floor = 1.2e-7 * (1.0 + np.max(np.abs(np.asarray(o, np.float64))))
+        assert e8 <= max(4 * e1, err1.max()) + 8 * floor, (i, e1, e8, err1.max())
 
 
 def test_sharded_step_keeps_params_replicated():
