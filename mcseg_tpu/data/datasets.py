@@ -115,10 +115,13 @@ class SegDataset:
         d = Image.open(path)
         if d.size != self.decode_size:
             d = d.resize(self.decode_size, Image.NEAREST)
-        arr = np.asarray(d).astype(np.float32)
-        if arr.dtype != np.float32 or arr.max() > 256:  # 16-bit PNG in mm
-            arr = arr / 1000.0
-        return arr
+        arr = np.asarray(d)
+        if np.issubdtype(arr.dtype, np.integer):
+            # Integer depth PNGs (8- or 16-bit) store millimeters; convert to
+            # meters with the same 0.001 scale the native decoder applies, so
+            # both decode paths agree for the same file.
+            return arr.astype(np.float32) * 0.001
+        return arr.astype(np.float32)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         s = self.samples[i]
@@ -149,9 +152,6 @@ class CityscapesDataset(SegDataset):
         )
         out = []
         for p in imgs:
-            lbl = p.replace("leftImg8bit" + os.sep, "gtFine" + os.sep, 1).replace(
-                os.sep + "leftImg8bit" + os.sep, os.sep + "gtFine" + os.sep
-            ).replace("_leftImg8bit.png", "_gtFine_labelIds.png")
             lbl = os.path.join(
                 root, "gtFine", split,
                 os.path.basename(os.path.dirname(p)),

@@ -38,7 +38,11 @@ struct Image {
 };
 
 // ---------------------------------------------------------------- PNG
-bool read_png(FILE* f, Image* im) {
+// raw_palette: return palette PNGs as raw 8-bit palette INDICES (one channel)
+// instead of expanding through the palette to RGB. Label maps (e.g. GTA5's
+// official paletted label PNGs) store the class id as the palette index, so
+// the index — not the palette color — is the datum.
+bool read_png(FILE* f, Image* im, bool raw_palette) {
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   if (!png) return false;
@@ -59,11 +63,19 @@ bool read_png(FILE* f, Image* im) {
   png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
                nullptr);
 
-  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) {
+    if (raw_palette) {
+      if (bit_depth < 8) png_set_packing(png);  // 1/2/4-bit idx -> 1 byte
+    } else {
+      png_set_palette_to_rgb(png);
+    }
+  }
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
     png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
-  png_set_strip_alpha(png);
+  if (!raw_palette) {
+    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+    png_set_strip_alpha(png);
+  }
   im->is16 = bit_depth == 16;
   if (im->is16) png_set_swap(png);  // PNG is big-endian; we want host order
 
@@ -126,7 +138,7 @@ bool read_jpeg(FILE* f, Image* im) {
   return true;
 }
 
-int read_any(const char* path, Image* im) {
+int read_any(const char* path, Image* im, bool raw_palette = false) {
   FILE* f = fopen(path, "rb");
   if (!f) return 1;
   uint8_t magic[4] = {0};
@@ -137,7 +149,7 @@ int read_any(const char* path, Image* im) {
   rewind(f);
   bool ok;
   if (magic[0] == 0x89 && magic[1] == 'P')
-    ok = read_png(f, im);
+    ok = read_png(f, im, raw_palette);
   else if (magic[0] == 0xFF && magic[1] == 0xD8)
     ok = read_jpeg(f, im);
   else {
@@ -209,9 +221,11 @@ int mcseg_decode_rgb(const char* path, uint8_t* out, int H, int W) {
 }
 
 // Single-channel decode with NEAREST resize (labels!), out: [H, W] uint8.
+// Paletted PNGs yield the palette INDEX per pixel (matches PIL's 'P'-mode
+// array semantics), not the palette color.
 int mcseg_decode_gray(const char* path, uint8_t* out, int H, int W) {
   Image im;
-  int rc = read_any(path, &im);
+  int rc = read_any(path, &im, /*raw_palette=*/true);
   if (rc) return rc;
   if (im.is16) return 3;
   if (im.h == H && im.w == W && im.c == 1) {

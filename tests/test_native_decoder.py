@@ -22,6 +22,14 @@ def img_dir(tmp_path_factory):
     Image.fromarray(lbl).save(d / "label.png")
     depth = (rng.rand(48, 64) * 4000).astype(np.uint16)
     Image.fromarray(depth).save(d / "depth16.png")
+    # Paletted label PNG — the official GTA5 label format: class id is the
+    # palette INDEX; palette colors are the Cityscapes RGB scheme.
+    pal_img = Image.fromarray(lbl, mode="P")
+    palette = np.zeros((256, 3), np.uint8)
+    palette[: 40] = rng.randint(0, 255, (40, 3))
+    palette[7] = (128, 64, 128)  # road color — trips RGB-expanding decoders
+    pal_img.putpalette(palette.flatten().tolist())
+    pal_img.save(d / "label_paletted.png")
     np.save(d / "rgb.npy", rgb)
     np.save(d / "label.npy", lbl)
     np.save(d / "depth16.npy", depth)
@@ -47,6 +55,43 @@ def test_label_exact_and_resize_preserves_ids(img_dir):
     np.testing.assert_array_equal(got, want)
     small = native.decode_gray(str(img_dir / "label.png"), 24, 32)
     assert set(np.unique(small)) <= set(np.unique(want))  # nearest: no new ids
+
+
+def test_paletted_label_decodes_to_indices(img_dir):
+    """GTA5-style paletted label PNG: native and PIL must both return the
+    palette index (the class id), never the palette color's red channel."""
+    want = np.load(img_dir / "label.npy")
+    pil = np.asarray(Image.open(img_dir / "label_paletted.png"), np.uint8)
+    np.testing.assert_array_equal(pil, want)  # PIL 'P' mode yields indices
+    got = native.decode_gray(str(img_dir / "label_paletted.png"), 48, 64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_depth8_matches_pil_path(img_dir, tmp_path):
+    """8-bit integer depth: both decode paths use the same mm->m convention."""
+    from mcseg_tpu.core.config import DataConfig
+    from mcseg_tpu.data.datasets import NYUDv2Dataset
+
+    rng = np.random.RandomState(3)
+    d8 = rng.randint(0, 255, (480, 640), np.uint8)
+    root = tmp_path / "d8"
+    for sub in ("train_rgb", "train_label", "train_depth"):
+        (root / sub).mkdir(parents=True)
+    Image.fromarray(np.zeros((480, 640, 3), np.uint8)).save(root / "train_rgb" / "a.png")
+    Image.fromarray(np.zeros((480, 640), np.uint8)).save(root / "train_label" / "a.png")
+    Image.fromarray(d8).save(root / "train_depth" / "a.png")
+
+    ds = NYUDv2Dataset(DataConfig(data_root=str(root)), "train")
+    native_depth = ds[0]["depth"]
+    import os
+
+    os.environ["MCSEG_NO_NATIVE"] = "1"
+    try:
+        pil_depth = ds[0]["depth"]
+    finally:
+        del os.environ["MCSEG_NO_NATIVE"]
+    np.testing.assert_allclose(native_depth, d8.astype(np.float32) * 0.001, atol=1e-6)
+    np.testing.assert_allclose(pil_depth, native_depth, atol=1e-6)
 
 
 def test_depth16_mm_to_meters(img_dir):
