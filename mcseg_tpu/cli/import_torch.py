@@ -1,10 +1,25 @@
 """Convert a reference (torch) checkpoint into this framework's format.
 
-The reference saves ``{epoch, args, g_state_dict, f1_state_dict,
-f2_state_dict, optimizer_g, optimizer_f}`` via torch.save (SURVEY.md section
-5). This tool reads such a file with torch-cpu, maps the G/F1/F2 state dicts
-into our flax parameter trees (utils/torch_import.py), and writes a native
-checkpoint so testers and --resume work on it (fresh optimizer state).
+Two torch input layouts are accepted (SURVEY.md section 5):
+
+1. Reference training checkpoint: ``{epoch, args, g_state_dict,
+   f1_state_dict, f2_state_dict, optimizer_g, optimizer_f}``. All three
+   module trees are imported.
+2. Bare trunk state_dict (torchvision / fyu-drn ImageNet weights — a flat
+   ``{name: tensor}`` dict, auto-detected or forced with ``--g_only``). Only
+   the G trunk is seeded; classifiers stay freshly initialized. This is the
+   reference's pretrained-seeding path: its vendored drn.py downloads ImageNet
+   weights and model_util copies them into the (possibly widened) first conv.
+
+First-conv widening is automatic: with ``--input_ch 6`` (RGB+HHA) the RGB
+slice of the pretrained 3-channel kernel is kept and the extra channels are
+filled with the RGB channel-mean (models/factory.widen_first_conv_params),
+mirroring the reference's model_util behavior.
+
+The torch ``epoch`` field is NOT written into ``state.step``: step is the
+per-iteration counter driving the poly LR schedule, while the reference's
+epoch is run metadata. Imported checkpoints start at step 0 (fresh schedule);
+the source epoch is reported on stdout.
 
     python -m mcseg_tpu.cli.import_torch ref_ckpt.pth.tar out_prefix \
         --net drn_d_38 --input_ch 6 --n_class 40
@@ -23,6 +38,16 @@ from mcseg_tpu.utils.checkpoint import save_checkpoint
 from mcseg_tpu.utils.torch_import import import_torch_state_dict, load_reference_checkpoint
 
 
+def _is_bare_state_dict(blob) -> bool:
+    """A flat {name: tensor} dict (ImageNet trunk weights) rather than the
+    reference's {epoch, args, *_state_dict, optimizer_*} checkpoint."""
+    if not isinstance(blob, dict) or not blob:
+        return False
+    if any(k.endswith("state_dict") for k in blob):
+        return False
+    return all(hasattr(v, "shape") for v in blob.values())
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("import_torch")
     p.add_argument("torch_checkpoint")
@@ -33,6 +58,10 @@ def main(argv=None):
     p.add_argument("--g_key", default="g_state_dict")
     p.add_argument("--f1_key", default="f1_state_dict")
     p.add_argument("--f2_key", default="f2_state_dict")
+    p.add_argument("--g_only", action="store_true",
+                   help="treat the file as a bare trunk state_dict "
+                        "(ImageNet weights); auto-detected when no "
+                        "*_state_dict keys are present")
     args = p.parse_args(argv)
 
     blob = load_reference_checkpoint(args.torch_checkpoint)
@@ -45,22 +74,39 @@ def main(argv=None):
 
     params = dict(state.params)
     stats = dict(state.batch_stats)
-    for name, key in (("G", args.g_key), ("F1", args.f1_key), ("F2", args.f2_key)):
-        sd = blob.get(key)
-        if sd is None:
-            print(f"warning: {key!r} not in checkpoint "
-                  f"(keys: {sorted(blob)[:10]}); leaving {name} initialized")
-            continue
-        sd = {k: v for k, v in sd.items() if "up." not in k and "upsample" not in k}
-        params[name], stats[name] = import_torch_state_dict(
-            sd, params[name], dict(stats[name])
-        )
-        print(f"imported {name} from {key} ({len(sd)} tensors)")
 
-    step = int(blob.get("epoch", 0))
+    if args.g_only or _is_bare_state_dict(blob):
+        # Bare ImageNet/fyu-drn trunk: seed G only. The trunk's trailing
+        # classification head (fc/logits tensors) is simply never matched.
+        sd = {k: v for k, v in blob.items() if not k.startswith("fc")}
+        params["G"], stats["G"] = import_torch_state_dict(
+            sd, params["G"], dict(stats["G"])
+        )
+        print(f"seeded G trunk from bare state_dict ({len(sd)} tensors); "
+              f"F1/F2 freshly initialized")
+        epoch = None
+    else:
+        for name, key in (("G", args.g_key), ("F1", args.f1_key),
+                          ("F2", args.f2_key)):
+            sd = blob.get(key)
+            if sd is None:
+                print(f"warning: {key!r} not in checkpoint "
+                      f"(keys: {sorted(blob)[:10]}); leaving {name} initialized")
+                continue
+            sd = {k: v for k, v in sd.items()
+                  if "up." not in k and "upsample" not in k}
+            params[name], stats[name] = import_torch_state_dict(
+                sd, params[name], dict(stats[name])
+            )
+            print(f"imported {name} from {key} ({len(sd)} tensors)")
+        epoch = blob.get("epoch")
+
     state = state.replace(params=params, batch_stats=stats,
-                          step=jnp.asarray(step, jnp.int32))
+                          step=jnp.zeros((), jnp.int32))
     path = save_checkpoint(args.out_prefix, state, cfg)
+    if epoch is not None:
+        print(f"note: source checkpoint was at epoch {epoch}; step reset to 0 "
+              f"(the LR schedule restarts — step counts iterations, not epochs)")
     print(f"wrote {path}")
 
 

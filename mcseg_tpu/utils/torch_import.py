@@ -61,9 +61,16 @@ def import_torch_state_dict(
     torch_sd: Dict[str, Any],
     params: Dict[str, Any],
     batch_stats: Dict[str, Any],
+    widen_first: bool = True,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Fill (params, batch_stats) for ONE module (e.g. the G trunk) from a
     torch state_dict, matching tensors in definition order by shape.
+
+    ``widen_first=True`` reproduces the reference model_util's pretrained
+    seeding (SURVEY.md section 2 "Model/optim factory" row): when one of OUR
+    conv kernels wants ``input_ch != 3`` input channels and the torch side only
+    has the 3-channel (RGB/ImageNet) kernel, the RGB slice is copied and the
+    extra channels are filled via ``widen_first_conv_params``.
 
     Returns new (params, batch_stats) trees; raises if any of our tensors
     finds no shape-compatible torch tensor in order.
@@ -107,6 +114,18 @@ def import_torch_state_dict(
         if leaf == "kernel" and cur.ndim == 4:
             tv = take(lambda k, v: k.endswith("weight") and v.ndim == 4,
                       cur.shape, torch_conv_to_hwio)
+            if tv is None and widen_first and cur.shape[2] != 3:
+                # first-conv widening: take the pretrained 3-channel kernel
+                # and widen (RGB slice kept, extras = RGB channel mean).
+                from mcseg_tpu.models.factory import widen_first_conv_params
+
+                want3 = (cur.shape[0], cur.shape[1], 3, cur.shape[3])
+                tv3 = take(lambda k, v: k.endswith("weight") and v.ndim == 4,
+                           want3, torch_conv_to_hwio)
+                if tv3 is not None:
+                    tv = np.asarray(
+                        widen_first_conv_params(jnp.asarray(tv3), cur.shape[2])
+                    )
         elif leaf == "kernel" and cur.ndim == 2:
             tv = take(lambda k, v: k.endswith("weight") and v.ndim == 2,
                       cur.shape, np.transpose)
