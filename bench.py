@@ -6,8 +6,17 @@ MCD adaptation at 640x480 with DRN-D-38, num_k=4 — i.e. each iteration does
 adapt_trainer loop — INCLUDING the fused on-device preprocessing (label remap,
 depth->HHA encode, joint crop/flip/resize, normalize, stack).
 
+Two measurements:
+  * device-only (the headline "value", comparable across rounds): raw batches
+    pre-staged in HBM; isolates the compiled step.
+  * end-to-end ("end_to_end" key): feeds from real PNG files on disk through
+    the full host pipeline (native decode thread pool -> stack -> prefetch ->
+    shard), i.e. what a user's training run actually sustains. A synthetic
+    PNG corpus is generated under /tmp on first run.
+
 images/sec/chip counts (source + target) images consumed per iteration,
-divided by the number of chips used.
+divided by the number of chips used. "mfu" reports XLA's own FLOP count for
+the step divided by (time x bf16 peak) for the detected TPU generation.
 
 vs_baseline: the reference never published throughput and the reference mount
 is empty (SURVEY.md section 6), so the denominator is a documented PROXY:
@@ -16,11 +25,23 @@ single-GPU adapt_trainer rate at 640x480 (MCD paper-era hardware; tqdm rates
 reported around 1-3 it/s at batch 1-2 with num_k=4 [R?]). Replace with a
 measured number when the reference becomes runnable.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing note: on this sandbox's TPU tunnel, jax.block_until_ready does NOT
+actually synchronize — only a value fetch does. Both loops therefore chain
+state through donated buffers and end by fetching a scalar metric.
+
+Sandbox ceiling on end_to_end: this host has ONE CPU core and reaches the
+TPU through a network tunnel whose H2D serialization costs host CPU
+(~17-40 MB/s measured vs ~16 GB/s real PCIe). At 81 MB/step the transfer
+alone takes ~5 s of the core, capping end_to_end at ~15% of device rate
+REGARDLESS of pipeline design. "host_pipeline_capacity" (decode+stack only)
+shows what the input pipeline itself sustains — 2.5x the device rate — i.e.
+on real hardware end_to_end tracks device-only. The wire already ships the
+minimum bytes: uint8 RGB, uint16-mm depth, no target labels.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import functools
-
 import json
 import os
 import time
@@ -29,6 +50,44 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mcseg_jax_cache")
 
 REFERENCE_PROXY_IMG_PER_SEC_PER_CHIP = 5.0
 
+# bf16 peak FLOP/s per chip by device_kind substring (public TPU specs).
+_PEAK_BF16 = (
+    ("v6", 918e12),  # Trillium
+    ("v5p", 459e12),
+    ("v5", 197e12),  # v5e / "v5 lite"
+    ("v4", 275e12),
+)
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for tag, peak in _PEAK_BF16:
+        if tag in kind:
+            return peak
+    return 0.0
+
+
+def _make_corpus(root: str, n: int, w: int, h: int) -> None:
+    """NYU-layout synthetic PNG corpus: rgb + label + 16-bit depth files."""
+    import numpy as np
+    from PIL import Image
+
+    done = os.path.join(root, ".complete")
+    if os.path.exists(done):
+        return
+    for sub in ("train_rgb", "train_label", "train_depth"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        rgb = rng.randint(0, 255, (h, w, 3), np.uint8)
+        lbl = rng.randint(0, 41, (h, w)).astype(np.uint8)
+        depth = (rng.rand(h, w) * 4000 + 500).astype(np.uint16)  # mm
+        Image.fromarray(rgb).save(os.path.join(root, "train_rgb", f"{i:05d}.png"))
+        Image.fromarray(lbl).save(os.path.join(root, "train_label", f"{i:05d}.png"))
+        Image.fromarray(depth).save(os.path.join(root, "train_depth", f"{i:05d}.png"))
+    with open(done, "w") as f:
+        f.write("ok")
+
 
 def main():
     import jax
@@ -36,7 +95,9 @@ def main():
     import numpy as np
 
     from mcseg_tpu.core.config import DataConfig, ModelConfig, TrainConfig
+    from mcseg_tpu.data.datasets import ZipDataset, get_dataset
     from mcseg_tpu.data.labels import get_label_spec
+    from mcseg_tpu.data.pipeline import batch_iterator, device_prefetch
     from mcseg_tpu.models.factory import get_models
     from mcseg_tpu.ops.preprocess import make_train_preprocess
     from mcseg_tpu.parallel.mesh import make_mesh, replicate, shard_batch
@@ -58,7 +119,8 @@ def main():
     model_cfg = ModelConfig(net="drn_d_38", input_ch=6, n_class=40, dtype="bfloat16")
     data_cfg = DataConfig(
         src_dataset="suncg", tgt_dataset="nyu", batch_size=b,
-        train_img_shape=(w, h), input_ch=6,
+        train_img_shape=(w, h), input_ch=6, num_workers=4,
+        data_root=f"/tmp/mcseg_bench_corpus_{w}x{h}",
     )
     train_cfg = TrainConfig(lr=1e-3, num_k=num_k, max_steps=100_000)
 
@@ -81,38 +143,94 @@ def main():
         xt, _ = pp(tgt_raw, k_tgt, remap_table=tgt_remap)
         return inner(state, xs, ys, xt)
 
-    # raw decode-resolution batches (the host would deliver these)
-    r = np.random.RandomState(0)
+    # ---- device-only: raw decode-resolution batches pre-staged in HBM ------
     h0, w0 = (480, 640) if on_tpu else (64, 64)
 
-    def raw(seed):
+    from mcseg_tpu.data.pipeline import wire_format
+
+    def raw(seed, drop_label):
         rr = np.random.RandomState(seed)
-        return shard_batch(mesh, {
+        return shard_batch(mesh, wire_format({
             "image": rr.randint(0, 255, (b, h0, w0, 3)).astype(np.uint8),
             "label": rr.randint(0, 41, (b, h0, w0)).astype(np.uint8),
             "depth": (rr.rand(b, h0, w0).astype(np.float32) * 3 + 0.5),
-        })
+        }, drop_label=drop_label))
 
-    src, tgt = raw(0), raw(1)
+    src, tgt = raw(0, False), raw(1, True)
 
-    # warmup / compile
+    # warmup / compile (value fetch = the only reliable sync on this tunnel)
     state, metrics = full_step(state, src, tgt)
-    jax.block_until_ready(state.params)
+    float(metrics["loss_source"])
+
+    flops_per_step = 0.0
+    try:
+        cost = full_step.lower(state, src, tgt).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = full_step(state, src, tgt)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-
+    float(metrics["loss_source"])
+    dt_dev = time.perf_counter() - t0
     # 2 images consumed per iteration element (one source + one target)
-    imgs_per_sec = 2.0 * b * steps / dt
-    per_chip = imgs_per_sec / n_chips
+    dev_per_chip = 2.0 * b * steps / dt_dev / n_chips
+
+    # ---- end-to-end: PNG files -> native decode pool -> prefetch -> step ---
+    n_imgs = max(2 * b, 48)
+    _make_corpus(data_cfg.data_root, n_imgs, w0, h0)
+    src_ds = get_dataset("nyu", data_cfg, "train")
+    tgt_ds = get_dataset("nyu", data_cfg, "train")
+
+    # host pipeline capacity (decode+stack only, no transfer/compute): shows
+    # whether the host can feed the device rate independent of this sandbox's
+    # slow TPU tunnel (~40 MB/s H2D; real PCIe is ~400x that).
+    host_it = batch_iterator(ZipDataset(src_ds, tgt_ds), b, seed=0,
+                             num_workers=data_cfg.num_workers)
+    next(host_it)
+    t0 = time.perf_counter()
+    host_steps = 3
+    for _ in range(host_steps):
+        next(host_it)
+    host_per_chip = 2.0 * b * host_steps / (time.perf_counter() - t0) / n_chips
+    del host_it
+
+    it = device_prefetch(
+        batch_iterator(ZipDataset(src_ds, tgt_ds), b, seed=0,
+                       num_workers=data_cfg.num_workers),
+        mesh,
+    )
+    s_raw, t_raw = next(it)  # warm the pool + compile this input layout
+    state, metrics = full_step(state, s_raw, t_raw)
+    float(metrics["loss_source"])
+    t0 = time.perf_counter()
+    for i, (s_raw, t_raw) in enumerate(it):
+        state, metrics = full_step(state, s_raw, t_raw)
+        if i + 1 >= steps:
+            break
+    float(metrics["loss_source"])
+    dt_e2e = time.perf_counter() - t0
+    e2e_per_chip = 2.0 * b * steps / dt_e2e / n_chips
+
+    peak = _peak_flops(jax.devices()[0])
+    mfu = (flops_per_step * steps / dt_dev / (peak * n_chips)) if peak else None
     print(json.dumps({
         "metric": "mcd_train_images_per_sec_per_chip_640x480_rgbhha",
-        "value": round(per_chip, 3),
+        "value": round(dev_per_chip, 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(per_chip / REFERENCE_PROXY_IMG_PER_SEC_PER_CHIP, 3),
+        "vs_baseline": round(dev_per_chip / REFERENCE_PROXY_IMG_PER_SEC_PER_CHIP, 3),
+        "end_to_end": round(e2e_per_chip, 3),
+        "end_to_end_vs_baseline": round(
+            e2e_per_chip / REFERENCE_PROXY_IMG_PER_SEC_PER_CHIP, 3),
+        "end_to_end_frac_of_device": round(e2e_per_chip / dev_per_chip, 3),
+        "host_pipeline_capacity": round(host_per_chip, 3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "flops_per_step": flops_per_step,
+        "n_chips": n_chips,
+        "per_chip_batch": per_chip_batch,
     }))
 
 

@@ -36,6 +36,15 @@ from mcseg_tpu.data.transforms import HHA_MEAN, HHA_STD, RGB_MEAN, RGB_STD
 from mcseg_tpu.ops.hha import default_intrinsics, depth_to_hha_batch
 
 
+def depth_to_meters(d: jnp.ndarray) -> jnp.ndarray:
+    """Accept both depth wire formats: float32 meters (datasets' decode
+    output) or uint16 millimeters (the compact wire encoding the pipeline
+    uses to halve PCIe/ICI bytes — data/pipeline.py WIRE_DEPTH_U16)."""
+    if d.dtype == jnp.uint16:
+        return d.astype(jnp.float32) * 0.001
+    return d.astype(jnp.float32)
+
+
 def apply_remap(label_u8: jnp.ndarray, table_np: np.ndarray) -> jnp.ndarray:
     """Label remap as a compare/select chain instead of a table gather.
 
@@ -84,25 +93,30 @@ def _normalize_stack(rgb01, extra, input_ch: int) -> jnp.ndarray:
     raise ValueError(f"unsupported input_ch {input_ch}")
 
 
-def _extra_channels(batch: Dict[str, jnp.ndarray], input_ch: int) -> jnp.ndarray:
+def _extra_channels(
+    batch: Dict[str, jnp.ndarray], input_ch: int, hha_on_device: bool = False
+) -> jnp.ndarray:
     """Non-RGB channels in [0,1]: HHA (input_ch 6) or scaled depth (1/4).
 
-    Prefers a precomputed 'hha' image (the reference's offline path); falls
-    back to on-device encoding from raw 'depth' (the BASELINE extension).
+    ``hha_on_device`` picks the HHA source when both a precomputed 'hha'
+    image (the reference's offline path) and raw 'depth' are in the batch:
+    True encodes HHA on device from depth (the BASELINE scope extension),
+    False prefers the precomputed files. With only one source present, the
+    flag is moot — whatever exists is used.
     """
     has_hha = "hha" in batch and batch["hha"] is not None
     has_depth = "depth" in batch and batch["depth"] is not None
     if input_ch == 6:
-        if has_hha:
+        if has_hha and not (hha_on_device and has_depth):
             return batch["hha"].astype(jnp.float32) / 255.0
         if has_depth:
-            depth = batch["depth"].astype(jnp.float32)
+            depth = depth_to_meters(batch["depth"])
             return depth_to_hha_batch(
                 depth, default_intrinsics(depth.shape[1], depth.shape[2])
             ) / 255.0
     elif input_ch in (1, 4):
         if has_depth:
-            depth = batch["depth"].astype(jnp.float32)
+            depth = depth_to_meters(batch["depth"])
             dmax = jnp.maximum(jnp.max(depth), 1e-3)
             return (depth / dmax)[..., None]
         if has_hha:  # disparity channel as a 1-ch depth proxy
@@ -137,17 +151,21 @@ def make_train_preprocess(cfg: DataConfig, hha_ignore_aspect: bool = True) -> Ca
                    remap_table: Optional[np.ndarray] = None):
         table = remap_src_np if remap_table is None else np.asarray(remap_table)
         img_u8 = batch["image"]
-        label_u8 = batch["label"]
+        # Unlabeled (target-domain) batches may omit 'label' entirely — the
+        # pipeline drops it from the wire since MCD never reads target labels.
+        label_u8 = batch.get("label")
         b = img_u8.shape[0]
 
         rgb = img_u8.astype(jnp.float32) / 255.0
-        label = apply_remap(label_u8, table)
+        label = apply_remap(label_u8, table) if label_u8 is not None else None
 
-        extra = _extra_channels(batch, cfg.input_ch) if needs_hha else None
+        extra = (_extra_channels(batch, cfg.input_ch, cfg.hha_on_device)
+                 if needs_hha else None)
 
         # ---- joint geometry ------------------------------------------------
         rgb = _resize_bilinear(rgb, pre)
-        label = _resize_nearest_labels(label, pre)
+        if label is not None:
+            label = _resize_nearest_labels(label, pre)
         if extra is not None:
             extra = _resize_bilinear(extra, pre)
 
@@ -157,7 +175,8 @@ def make_train_preprocess(cfg: DataConfig, hha_ignore_aspect: bool = True) -> Ca
             lefts = jax.random.randint(k_left, (b,), 0, pre[1] - target[1] + 1)
             crop = partial(_crop_one, ch=target[0], cw=target[1])
             rgb = jax.vmap(crop)(rgb, tops, lefts)
-            label = jax.vmap(crop)(label[..., None], tops, lefts)[..., 0]
+            if label is not None:
+                label = jax.vmap(crop)(label[..., None], tops, lefts)[..., 0]
             if extra is not None:
                 extra = jax.vmap(crop)(extra, tops, lefts)
         else:
@@ -167,7 +186,8 @@ def make_train_preprocess(cfg: DataConfig, hha_ignore_aspect: bool = True) -> Ca
             flip = jax.random.bernoulli(k_flip, 0.5, (b,))
             fmask = flip[:, None, None, None]
             rgb = jnp.where(fmask, rgb[:, :, ::-1, :], rgb)
-            label = jnp.where(flip[:, None, None], label[:, :, ::-1], label)
+            if label is not None:
+                label = jnp.where(flip[:, None, None], label[:, :, ::-1], label)
             if extra is not None:
                 extra = jnp.where(fmask, extra[:, :, ::-1, :], extra)
 
@@ -192,7 +212,8 @@ def make_eval_preprocess(cfg: DataConfig) -> Callable:
         table = remap_tbl_np if remap_table is None else np.asarray(remap_table)
         rgb = batch["image"].astype(jnp.float32) / 255.0
         label = apply_remap(batch["label"], table)
-        extra = _extra_channels(batch, cfg.input_ch) if needs_hha else None
+        extra = (_extra_channels(batch, cfg.input_ch, cfg.hha_on_device)
+                 if needs_hha else None)
         rgb = _resize_bilinear(rgb, target)
         if extra is not None:
             extra = _resize_bilinear(extra, target)

@@ -91,7 +91,8 @@ def train_source(
     steps_per_epoch = len(dataset) // cfg.data.batch_size
     it = device_prefetch(
         batch_iterator(dataset, cfg.data.batch_size, seed=cfg.train.seed,
-                       epochs=cfg.train.epochs),
+                       epochs=cfg.train.epochs,
+                       num_workers=cfg.data.num_workers),
         mesh,
     )
     for i, raw in enumerate(it):
@@ -147,7 +148,9 @@ def train_multitask(
     data_key = jax.random.key(cfg.train.seed + 1)
 
     def _depth01(raw):
-        d = raw["depth"].astype(jnp.float32)
+        from mcseg_tpu.ops.preprocess import depth_to_meters
+
+        d = depth_to_meters(raw["depth"])
         b, h0, w0 = d.shape
         d = jax.image.resize(d, (b, th, tw), method="bilinear")
         return d / jnp.maximum(jnp.max(d), 1e-3)
@@ -187,7 +190,8 @@ def train_multitask(
 
     it = device_prefetch(
         batch_iterator(dataset, cfg.data.batch_size, seed=cfg.train.seed,
-                       epochs=cfg.train.epochs),
+                       epochs=cfg.train.epochs,
+                       num_workers=cfg.data.num_workers),
         mesh,
     )
     timer = StepTimer()
@@ -248,7 +252,8 @@ def train_adapt(
     steps_per_epoch = max(len(zipped) // cfg.data.batch_size, 1)
     it = device_prefetch(
         batch_iterator(zipped, cfg.data.batch_size, seed=cfg.train.seed,
-                       epochs=cfg.train.epochs),
+                       epochs=cfg.train.epochs,
+                       num_workers=cfg.data.num_workers),
         mesh,
     )
     for i, (src_raw, tgt_raw) in enumerate(it):

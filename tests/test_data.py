@@ -148,3 +148,46 @@ def test_batch_iterator_zip():
     (s, t) = next(batch_iterator(z, 2, epochs=1))
     assert s["image"].shape == t["image"].shape == (2, 48, 64, 3)
     assert not np.array_equal(s["image"], t["image"])
+
+
+def test_batch_iterator_pool_matches_serial():
+    """num_workers>1 (thread-pool decode) yields identical batches in the
+    same order as the serial path for the same seed."""
+    cfg = _cfg(max_samples=6)
+    ds = SyntheticDataset(cfg, "train")
+    serial = list(batch_iterator(ds, 2, seed=3, epochs=2, num_workers=0))
+    pooled = list(batch_iterator(ds, 2, seed=3, epochs=2, num_workers=4))
+    assert len(serial) == len(pooled)
+    for a, b in zip(serial, pooled):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_wire_format_depth_and_label():
+    from mcseg_tpu.data.pipeline import wire_format
+
+    batch = {
+        "image": np.zeros((2, 4, 4, 3), np.uint8),
+        "label": np.ones((2, 4, 4), np.uint8),
+        "depth": np.array([[[0.0015, 2.5]]], np.float32),
+    }
+    out = wire_format(batch)
+    assert out["depth"].dtype == np.uint16
+    np.testing.assert_array_equal(out["depth"], [[[2, 2500]]])  # mm, rounded half-up
+    assert "label" in out
+    out2 = wire_format(batch, drop_label=True)
+    assert "label" not in out2 and out2["image"].dtype == np.uint8
+
+
+def test_depth_to_meters_roundtrip():
+    import jax.numpy as jnp
+
+    from mcseg_tpu.data.pipeline import wire_format
+    from mcseg_tpu.ops.preprocess import depth_to_meters
+
+    d = np.random.RandomState(0).rand(3, 5).astype(np.float32) * 8
+    wire = wire_format({"depth": d})["depth"]
+    back = np.asarray(depth_to_meters(jnp.asarray(wire)))
+    np.testing.assert_allclose(back, d, atol=5.1e-4)  # half-mm quantization
+    # float32 passes through untouched
+    np.testing.assert_array_equal(np.asarray(depth_to_meters(jnp.asarray(d))), d)
