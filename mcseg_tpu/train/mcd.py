@@ -104,11 +104,14 @@ def make_mcd_step(
         pf = optax.apply_updates(pf, up_f)
 
         # ---- STEP C: minimize discrepancy wrt generator (F frozen), x num_k -
-        def c_iter(carry, _):
+        def c_iter(carry, i):
             pg_, opt_g_, sg_ = carry
+            # fresh dropout mask per repetition, like the reference's num_k
+            # independent forwards (matters for trunks with dropout, e.g. VGG)
+            kc_i = jax.random.fold_in(kc, i)
 
             def loss_c(pg_in, sg_in):
-                feat_t, sg_in = apply_generator(g, pg_in, sg_in, tgt_img, True, kc)
+                feat_t, sg_in = apply_generator(g, pg_in, sg_in, tgt_img, True, kc_i)
                 o1t = apply_classifier(f1, pf["F1"], feat_t, True)
                 o2t = apply_classifier(f2, tie(pf["F2"], pf["F1"]), feat_t, True)
                 return disc(o1t, o2t), sg_in
@@ -119,7 +122,7 @@ def make_mcd_step(
             return (pg_, opt_g_, sg_), l_c
 
         (pg, opt_g, sg), l_cs = jax.lax.scan(
-            c_iter, (pg, opt_g, sg), None, length=num_k
+            c_iter, (pg, opt_g, sg), jnp.arange(num_k)
         )
 
         new_state = state.replace(

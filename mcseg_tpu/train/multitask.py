@@ -172,11 +172,12 @@ def make_multitask_mcd_step(
         pf = optax.apply_updates(pf, up_f)
 
         # STEP C (generator only, num_k times)
-        def c_iter(carry, _):
+        def c_iter(carry, i):
             pg_, opt_g_, sg_ = carry
+            kc_i = jax.random.fold_in(kc, i)  # fresh dropout per repetition
 
             def loss_c(p, s):
-                feat_t, s = apply_generator(g, p, s, tgt_img, True, kc)
+                feat_t, s = apply_generator(g, p, s, tgt_img, True, kc_i)
                 o1t = apply_classifier(f1, pf["F1"], feat_t, True)
                 o2t = apply_classifier(f2, pf["F2"], feat_t, True)
                 return disc(o1t, o2t), s
@@ -186,7 +187,7 @@ def make_multitask_mcd_step(
             return (optax.apply_updates(pg_, up), opt_g_, sg_), l_c
 
         (pg, opt_g, sg), l_cs = jax.lax.scan(
-            c_iter, (pg, opt_g, sg), None, length=cfg.num_k
+            c_iter, (pg, opt_g, sg), jnp.arange(cfg.num_k)
         )
 
         new_state = state.replace(

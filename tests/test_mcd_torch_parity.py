@@ -184,3 +184,84 @@ def test_mcd_step_matches_torch_reference_loop():
         np.asarray(state.batch_stats["G"]["bn"]["mean"]),
         tg[1].running_mean.detach().numpy(), rtol=1e-4, atol=1e-6,
     )
+
+
+def test_step_c_uses_fresh_dropout_each_repetition():
+    """Step C must draw a NEW dropout mask per num_k repetition (the reference
+    does num_k independent forwards). Setup isolates the mask as the only
+    varying factor: lr=0 freezes params, the trunk has dropout but no BN, so
+    loss_dis(num_k=2)'s last repetition can differ from loss_dis(num_k=1)'s
+    only through a fresh mask."""
+
+    class DropG(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(CH, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                        use_bias=True, name="conv")(x)
+            return nn.Dropout(0.5, deterministic=not train)(x)
+
+    gm = DropG()
+    f1m = PixelClassifier(NC, up_factor=2, upsample="convt")
+    f2m = PixelClassifier(NC, up_factor=2, upsample="convt")
+    key = jax.random.key(0)
+    x = jnp.zeros((B, H, W, 3))
+    gv = gm.init({"params": key, "dropout": key}, x, False)
+    feat = gm.apply(gv, x, False)
+    f1v = f1m.init(key, feat, False)
+    f2v = f2m.init(jax.random.key(1), feat, False)
+    params = {"G": gv["params"], "F1": f1v["params"], "F2": f2v["params"]}
+
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    lbl = jnp.asarray(rng.randint(0, NC, (B, H, W)))
+    tgt = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+
+    def run(num_k):
+        cfg = TrainConfig(lr=0.0, momentum=0.0, weight_decay=0.0,
+                          num_k=num_k, lr_schedule="constant")
+        tx_g = get_optimizer(cfg.opt, cfg.lr, cfg.momentum, cfg.weight_decay)
+        tx_f = get_optimizer(cfg.opt, cfg.lr, cfg.momentum, cfg.weight_decay)
+        state = MCDTrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats={"G": {}, "F1": {}, "F2": {}},
+            opt_g=tx_g.init(params["G"]),
+            opt_f=tx_f.init({"F1": params["F1"], "F2": params["F2"]}),
+            rng=jax.random.key(7),
+        )
+        step = jax.jit(make_mcd_step(gm, f1m, f2m, tx_g, tx_f, cfg))
+        new_state, metrics = step(state, src, lbl, tgt)
+        # lr=0 really froze everything
+        np.testing.assert_array_equal(
+            np.asarray(new_state.params["G"]["conv"]["kernel"]),
+            np.asarray(params["G"]["conv"]["kernel"]),
+        )
+        return float(metrics["loss_dis"])
+
+    # same initial rng: repetition 0 sees the same mask in both runs, so a
+    # stale (reused) key would make the two values identical.
+    assert run(1) != run(2)
+
+
+def test_mcd_step_runs_with_vgg_trunk_dropout():
+    """The real fcn8s_vgg16 G (two Dropout(0.5) layers) through the fused MCD
+    step: losses finite, params move, dropout rngs threaded correctly."""
+    from mcseg_tpu.core.config import ModelConfig
+    from mcseg_tpu.models.factory import get_models, init_models
+    from mcseg_tpu.train.state import create_train_state
+
+    mcfg = ModelConfig(net="fcn8s_vgg16", input_ch=3, n_class=NC, dtype="float32")
+    tcfg = TrainConfig(lr=0.01, num_k=2, lr_schedule="constant")
+    state, tx_g, tx_f = create_train_state(mcfg, tcfg, jax.random.key(0),
+                                           img_shape=(32, 32))
+    g, f1, f2 = get_models(mcfg)
+    step = jax.jit(make_mcd_step(g, f1, f2, tx_g, tx_f, tcfg))
+    rng = np.random.RandomState(1)
+    src = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    lbl = jnp.asarray(rng.randint(0, NC, (2, 32, 32)))
+    tgt = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    before = np.asarray(jax.tree.leaves(state.params["G"])[0]).copy()
+    new_state, metrics = step(state, src, lbl, tgt)
+    for k in ("loss_source", "loss_b", "loss_dis"):
+        assert np.isfinite(float(metrics[k])), k
+    after = np.asarray(jax.tree.leaves(new_state.params["G"])[0])
+    assert not np.array_equal(before, after)
