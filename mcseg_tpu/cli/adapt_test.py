@@ -15,8 +15,15 @@ from mcseg_tpu.eval.tester import evaluate
 from mcseg_tpu.utils.checkpoint import load_checkpoint
 
 
-def main(argv=None, average_classifiers=True):
+def main(argv=None, average_classifiers=None):
+    """``average_classifiers``: None resolves from the flags — adapt_test
+    defaults to averaging F1/F2 (the reference adapt_tester behavior) unless
+    --f1_only; source_test passes False and --use_f2 opts back in."""
     args = get_testing_parser("adapt_test").parse_args(argv)
+    if average_classifiers is None:
+        average_classifiers = not args.f1_only
+    if args.use_f2:
+        average_classifiers = True
     state, cfg = load_checkpoint(args.checkpoint)
     data = cfg.data
     overrides = {}
@@ -36,7 +43,7 @@ def main(argv=None, average_classifiers=True):
     dataset = get_dataset(data.tgt_dataset, data, args.split)
     miou, hist, table = evaluate(
         state, cfg, dataset,
-        average_classifiers=average_classifiers or args.use_f2,
+        average_classifiers=average_classifiers,
         save_dir=args.outdir,
         saves_prob=args.saves_prob,
     )

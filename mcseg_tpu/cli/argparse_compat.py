@@ -101,7 +101,11 @@ def get_testing_parser(name: str = "test") -> argparse.ArgumentParser:
     p.add_argument("--saves_prob", action="store_true",
                    help="also dump softmax probability maps (.npy)")
     p.add_argument("--use_f2", action="store_true",
-                   help="average F1 and F2 outputs (adapt_tester default)")
+                   help="average F1 and F2 outputs (adapt_tester default; "
+                        "opts source_test in)")
+    p.add_argument("--f1_only", action="store_true",
+                   help="score with F1 alone (disables the adapt_tester "
+                        "classifier averaging)")
     p.add_argument("--max_samples", type=int, default=None)
     return p
 

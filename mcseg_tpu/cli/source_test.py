@@ -5,6 +5,7 @@ from mcseg_tpu.cli import adapt_test
 
 
 def main(argv=None):
+    # F1 only by default; --use_f2 opts into classifier averaging.
     return adapt_test.main(argv, average_classifiers=False)
 
 

@@ -26,3 +26,35 @@ def depth_metrics(
     ratio = jnp.maximum(p / t, t / p)
     d125 = (jnp.where(valid, ratio < 1.25, False)).sum() / n
     return {"rmse": rmse, "abs_rel": abs_rel, "delta_1.25": d125}
+
+
+def depth_metric_sums(
+    pred: jnp.ndarray, target: jnp.ndarray, min_depth: float = 1e-3
+) -> Dict[str, jnp.ndarray]:
+    """Valid-pixel-weighted running sums for multi-batch accumulation
+    (finalize with ``finalize_depth_metrics``) — averaging per-batch means
+    would weight small tail batches wrongly."""
+    if pred.ndim == target.ndim + 1:
+        pred = pred[..., 0]
+    valid = jnp.isfinite(target) & (target > min_depth)
+    p = jnp.where(valid, pred, 1.0)
+    t = jnp.where(valid, target, 1.0)
+    err = jnp.where(valid, p - t, 0.0)
+    ratio = jnp.maximum(p / t, t / p)
+    return {
+        "n": valid.sum().astype(jnp.float32),
+        "sse": (err**2).sum(),
+        "sabs_rel": jnp.where(valid, jnp.abs(err) / t, 0.0).sum(),
+        "sdelta": jnp.where(valid, ratio < 1.25, False).sum().astype(jnp.float32),
+    }
+
+
+def finalize_depth_metrics(sums: Dict[str, float]) -> Dict[str, float]:
+    import numpy as np
+
+    n = max(float(sums["n"]), 1.0)
+    return {
+        "rmse": float(np.sqrt(float(sums["sse"]) / n)),
+        "abs_rel": float(sums["sabs_rel"]) / n,
+        "delta_1.25": float(sums["sdelta"]) / n,
+    }

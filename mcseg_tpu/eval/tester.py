@@ -29,13 +29,20 @@ from mcseg_tpu.utils.util import mkdir_if_not_exist
 
 
 def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True,
-                   return_probs: bool = False):
+                   return_probs: bool = False, with_depth: bool = False):
     """Build the jit'd (params, batch_stats, raw_batch) -> (hist, preds[, probs])
     step. ``return_probs`` adds the softmax probability maps (the reference's
-    --saves_prob option, SURVEY.md section 3.3)."""
+    --saves_prob option, SURVEY.md section 3.3). ``with_depth`` additionally
+    evaluates the multitask depth head (params['D']) against the raw depth in
+    the batch, returning valid-pixel-weighted metric sums."""
     g, f1, f2 = get_models(cfg.model)
     pp = make_eval_preprocess(cfg.data)
     n_class = cfg.model.n_class
+    d_head = None
+    if with_depth:
+        from mcseg_tpu.models.heads import DepthRegressor
+
+        d_head = DepthRegressor(upsample=cfg.model.upsample)
 
     @jax.jit
     def eval_step(params, batch_stats, raw_batch):
@@ -52,9 +59,21 @@ def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True,
             logits = upsample_matmul(logits, lh, lw, "resize")
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         hist = fast_hist(label, pred, n_class)
+        out = [hist, pred]
         if return_probs:
-            return hist, pred, jax.nn.softmax(logits, axis=-1)
-        return hist, pred
+            out.append(jax.nn.softmax(logits, axis=-1))
+        if d_head is not None:
+            from mcseg_tpu.eval.depth_metrics import depth_metric_sums
+            from mcseg_tpu.ops.preprocess import depth_to_meters
+
+            d_pred = d_head.apply({"params": params["D"]}, feat, False)
+            gt = depth_to_meters(raw_batch["depth"])
+            if gt.shape[1:3] != d_pred.shape[1:3]:
+                from mcseg_tpu.ops.upsample import upsample_matmul
+
+                d_pred = upsample_matmul(d_pred, gt.shape[1], gt.shape[2], "resize")
+            out.append(depth_metric_sums(d_pred, gt))
+        return tuple(out)
 
     return eval_step
 
@@ -76,10 +95,15 @@ def evaluate(
         params, batch_stats = state_or_params
     dataset = dataset or get_dataset(cfg.data.tgt_dataset, cfg.data, "val")
     _, _, names, palette = get_label_spec(cfg.data.tgt_dataset)
-    step = make_eval_step(cfg, average_classifiers, return_probs=saves_prob)
+    # Multitask checkpoints (a 'D' depth-head subtree) are depth-evaluated too,
+    # when the eval corpus actually carries depth.
+    with_depth = "D" in params and "depth" in dataset[0]
+    step = make_eval_step(cfg, average_classifiers, return_probs=saves_prob,
+                          with_depth=with_depth)
 
     n_class = cfg.model.n_class
     total = jnp.zeros((n_class, n_class), jnp.int32)
+    depth_sums = {"n": 0.0, "sse": 0.0, "sabs_rel": 0.0, "sdelta": 0.0}
     bs = min(cfg.data.batch_size, len(dataset))
 
     def _padded_batches():
@@ -97,16 +121,20 @@ def evaluate(
             if n_pad:
                 batch["label"] = batch["label"].copy()
                 batch["label"][len(idx):] = 255
+                if with_depth and "depth" in batch:
+                    batch["depth"] = batch["depth"].copy()
+                    batch["depth"][len(idx):] = 0.0  # invalid -> masked
             yield batch, len(idx)
 
     for bi, (raw, n_real) in enumerate(_padded_batches()):
         if max_batches is not None and bi >= max_batches:
             break
-        if saves_prob:
-            hist, pred, probs = step(params, batch_stats, raw)
-        else:
-            hist, pred = step(params, batch_stats, raw)
-            probs = None
+        res = step(params, batch_stats, raw)
+        hist, pred = res[0], res[1]
+        probs = res[2] if saves_prob else None
+        if with_depth:
+            for k, v in res[-1].items():
+                depth_sums[k] += float(v)
         total = total + hist
         if save_dir:
             from mcseg_tpu.data.transforms import save_color_png, save_label_png
@@ -123,6 +151,14 @@ def evaluate(
 
     total = np.asarray(jax.device_get(total))
     table = format_iou_table(total, names[: n_class])
+    if with_depth:
+        from mcseg_tpu.eval.depth_metrics import finalize_depth_metrics
+
+        dm = finalize_depth_metrics(depth_sums)
+        table += (
+            f"\ndepth: rmse={dm['rmse']:.4f} m  abs_rel={dm['abs_rel']:.4f}"
+            f"  delta<1.25={dm['delta_1.25']:.4f}"
+        )
     if print_table:
         print(table)
     return miou_from_hist(total), total, table

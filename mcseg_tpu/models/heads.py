@@ -111,7 +111,7 @@ class PixelClassifier(nn.Module):
 class DepthRegressor(nn.Module):
     """Auxiliary depth-estimation head for the multitask fusion variant
     (SURVEY.md section 2, multitask trainer [P]): 1x1 conv to 1 channel +
-    upsample, predicting log-depth."""
+    upsample, regressing depth in meters (berHu loss, train/multitask.py)."""
 
     up_factor: int = 8
     upsample: str = "resize"

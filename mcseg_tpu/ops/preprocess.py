@@ -126,16 +126,22 @@ def _extra_channels(
     raise ValueError(f"input_ch={input_ch} needs 'hha'/'depth'/'ir' in the batch")
 
 
-def make_train_preprocess(cfg: DataConfig, hha_ignore_aspect: bool = True) -> Callable:
+def make_train_preprocess(
+    cfg: DataConfig, hha_ignore_aspect: bool = True, with_depth: bool = False
+) -> Callable:
     """Build the jit-able train preprocess: (batch_dict, key) -> (img, label).
 
     batch_dict (host-stacked raw arrays):
       image  uint8  [B, h0, w0, 3]
       label  uint8  [B, h0, w0]            (raw corpus ids)
-      depth  float32 [B, h0, w0] (meters)  optional
+      depth  float32 meters | uint16 mm [B, h0, w0]  optional
       hha    uint8  [B, h0, w0, 3]         optional (precomputed, like the ref)
 
     Returns img float32 [B, H, W, input_ch], label int32 [B, H, W].
+    ``with_depth=True`` appends a third output: the raw depth plane in METERS
+    carried through the SAME resize/crop/flip as image and label — the
+    multitask variant's supervision target (keeping the aux task geometrically
+    consistent with the segmentation crop).
     """
     tw, th = cfg.train_img_shape  # reference flag order (W, H)
     target = (th, tw)
@@ -161,6 +167,7 @@ def make_train_preprocess(cfg: DataConfig, hha_ignore_aspect: bool = True) -> Ca
 
         extra = (_extra_channels(batch, cfg.input_ch, cfg.hha_on_device)
                  if needs_hha else None)
+        dep = depth_to_meters(batch["depth"])[..., None] if with_depth else None
 
         # ---- joint geometry ------------------------------------------------
         rgb = _resize_bilinear(rgb, pre)
@@ -168,6 +175,8 @@ def make_train_preprocess(cfg: DataConfig, hha_ignore_aspect: bool = True) -> Ca
             label = _resize_nearest_labels(label, pre)
         if extra is not None:
             extra = _resize_bilinear(extra, pre)
+        if dep is not None:
+            dep = _resize_bilinear(dep, pre)
 
         if cfg.random_crop and pre != target:
             k_top, k_left, k_flip = jax.random.split(key, 3)
@@ -179,6 +188,8 @@ def make_train_preprocess(cfg: DataConfig, hha_ignore_aspect: bool = True) -> Ca
                 label = jax.vmap(crop)(label[..., None], tops, lefts)[..., 0]
             if extra is not None:
                 extra = jax.vmap(crop)(extra, tops, lefts)
+            if dep is not None:
+                dep = jax.vmap(crop)(dep, tops, lefts)
         else:
             k_flip = key
 
@@ -190,8 +201,12 @@ def make_train_preprocess(cfg: DataConfig, hha_ignore_aspect: bool = True) -> Ca
                 label = jnp.where(flip[:, None, None], label[:, :, ::-1], label)
             if extra is not None:
                 extra = jnp.where(fmask, extra[:, :, ::-1, :], extra)
+            if dep is not None:
+                dep = jnp.where(fmask, dep[:, :, ::-1, :], dep)
 
         img = _normalize_stack(rgb, extra, cfg.input_ch)
+        if with_depth:
+            return img, label, dep[..., 0]
         return img, label
 
     return preprocess

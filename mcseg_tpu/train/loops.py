@@ -122,9 +122,14 @@ def train_multitask(
     max_iterations: Optional[int] = None,
     depth_weight: float = 0.5,
     adapt: bool = True,
+    on_epoch_end: Optional[Callable] = None,
 ):
     """Multitask (seg + aux depth) training, source-only or MCD-adapted
-    (reference: multitask trainer variants, SURVEY.md section 2)."""
+    (reference: multitask trainer variants, SURVEY.md section 2).
+
+    Depth supervision (meters) rides through the SAME resize/crop/flip as the
+    image and label (ops/preprocess with_depth=True), so the aux task sees
+    geometry consistent with the segmentation crop."""
     from mcseg_tpu.train.multitask import (
         init_multitask_state,
         make_multitask_mcd_step,
@@ -136,24 +141,26 @@ def train_multitask(
     out_dir = mkdir_if_not_exist(cfg.train.out_dir)
     tw, th = cfg.data.train_img_shape
 
-    # TODO(round 2): --resume for multitask needs a load path aware of the
-    # extra 'D' (depth head) parameter subtree; train_source/train_adapt
-    # already support it.
-    state, tx_g, tx_f, d_head = init_multitask_state(
+    _, tx_g, tx_f, d_head = init_multitask_state(
         cfg.model, cfg.train, jax.random.key(cfg.train.seed), img_shape=(th, tw)
     )
+    if cfg.train.resume:
+        state, _ = load_checkpoint(cfg.train.resume)
+        if "D" not in state.params:
+            raise ValueError(
+                f"--resume {cfg.train.resume!r} is not a multitask checkpoint "
+                "(no 'D' depth-head subtree)"
+            )
+    else:
+        state, _, _, _ = init_multitask_state(
+            cfg.model, cfg.train, jax.random.key(cfg.train.seed),
+            img_shape=(th, tw),
+        )
     state = replicate(mesh, state)
     g, f1, f2 = get_models(cfg.model)
-    pp = make_train_preprocess(cfg.data)
+    pp_src = make_train_preprocess(cfg.data, with_depth=True)
+    pp_tgt = make_train_preprocess(cfg.data)
     data_key = jax.random.key(cfg.train.seed + 1)
-
-    def _depth01(raw):
-        from mcseg_tpu.ops.preprocess import depth_to_meters
-
-        d = depth_to_meters(raw["depth"])
-        b, h0, w0 = d.shape
-        d = jax.image.resize(d, (b, th, tw), method="bilinear")
-        return d / jnp.maximum(jnp.max(d), 1e-3)
 
     if adapt:
         src = get_dataset(cfg.data.src_dataset, cfg.data, cfg.data.split)
@@ -165,15 +172,12 @@ def train_multitask(
             g, f1, f2, d_head, tx_g, tx_f, cfg.train, depth_weight
         )
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def full_step(state, src_raw, tgt_raw):
             key = jax.random.fold_in(data_key, state.step)
             k_src, k_tgt = jax.random.split(key)
-            xs, ys = pp(src_raw, k_src)
-            xt, _ = pp(tgt_raw, k_tgt, remap_table=tgt_remap)
-            # NOTE: depth supervision uses the un-augmented resized depth; the
-            # aux task tolerates the crop/flip mismatch (documented divergence).
-            ds = _depth01(src_raw)
+            xs, ys, ds = pp_src(src_raw, k_src)
+            xt, _ = pp_tgt(tgt_raw, k_tgt, remap_table=tgt_remap)
             return inner(state, xs, ys, ds, xt)
 
     else:
@@ -182,11 +186,11 @@ def train_multitask(
             g, f1, f2, d_head, tx_g, tx_f, cfg.train, depth_weight
         )
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def full_step(state, raw):
             key = jax.random.fold_in(data_key, state.step)
-            img, label = pp(raw, key)
-            return inner(state, img, label, _depth01(raw))
+            img, label, ds = pp_src(raw, key)
+            return inner(state, img, label, ds)
 
     it = device_prefetch(
         batch_iterator(dataset, cfg.data.batch_size, seed=cfg.train.seed,
@@ -195,6 +199,7 @@ def train_multitask(
         mesh,
     )
     timer = StepTimer()
+    steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
     for i, item in enumerate(it):
         if max_iterations is not None and i >= max_iterations:
             break
@@ -208,6 +213,12 @@ def train_multitask(
             _check_finite(host_metrics, i)
             logger.log({"step": i, **host_metrics,
                         "img_per_sec": timer.items_per_sec})
+        if (i + 1) % steps_per_epoch == 0:
+            epoch = (i + 1) // steps_per_epoch
+            if epoch % cfg.train.checkpoint_every_epochs == 0:
+                save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
+            if on_epoch_end:
+                on_epoch_end(epoch, state)
     save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
     return state
 

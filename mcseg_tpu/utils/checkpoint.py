@@ -57,15 +57,28 @@ def load_checkpoint(
     prefix: str, config: Optional[ExperimentConfig] = None
 ) -> Tuple[MCDTrainState, ExperimentConfig]:
     """Rebuild (state, config) from a checkpoint prefix. The model/optimizer
-    skeleton comes from the EMBEDDED config unless an override is given."""
+    skeleton comes from the EMBEDDED config unless an override is given.
+
+    Multitask checkpoints are detected from the payload itself (a 'D'
+    depth-head subtree under params) and restored into a multitask skeleton —
+    the same args->model round-trip, one format for all trainers."""
     if config is None:
         config = ExperimentConfig.from_dict(load_json(prefix + ".config.json"))
-    skeleton, _, _ = create_train_state(
-        config.model, config.train, jax.random.key(0), img_shape=(16, 16)
-    )
-    target = _state_to_dict(skeleton)
     with open(prefix + ".msgpack", "rb") as f:
-        restored = serialization.from_bytes(target, f.read())
+        blob = f.read()
+    raw = serialization.msgpack_restore(blob)
+    if "D" in raw.get("params", {}):
+        from mcseg_tpu.train.multitask import init_multitask_state
+
+        skeleton, _, _, _ = init_multitask_state(
+            config.model, config.train, jax.random.key(0), img_shape=(16, 16)
+        )
+    else:
+        skeleton, _, _ = create_train_state(
+            config.model, config.train, jax.random.key(0), img_shape=(16, 16)
+        )
+    target = _state_to_dict(skeleton)
+    restored = serialization.from_bytes(target, blob)
     state = MCDTrainState(
         step=jnp.asarray(restored["step"]),
         params=restored["params"],

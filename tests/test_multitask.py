@@ -86,3 +86,104 @@ def test_depth_metrics():
     t3 = t.at[0, 0, 0].set(0.0)
     m3 = depth_metrics(t[..., None], t3)
     assert float(m3["rmse"]) < 1e-6
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_multitask_e2e_train_resume_eval(tmp_path):
+    """Full multitask lifecycle: train (per-epoch checkpoints) -> resume from
+    the epoch checkpoint (D subtree restored) -> evaluate with depth metrics
+    (rmse/abs_rel/delta printed in the table)."""
+    import dataclasses
+
+    from mcseg_tpu.core.config import DataConfig, ExperimentConfig
+    from mcseg_tpu.data.datasets import SyntheticDataset
+    from mcseg_tpu.eval.tester import evaluate
+    from mcseg_tpu.train.loops import train_multitask
+    from mcseg_tpu.utils.checkpoint import load_checkpoint
+
+    dcfg = DataConfig(src_dataset="synthetic", tgt_dataset="synthetic",
+                      batch_size=8, train_img_shape=(32, 32),
+                      test_img_shape=(32, 32), input_ch=3, n_class=NCLASS,
+                      max_samples=8, num_workers=2)
+    cfg = ExperimentConfig(
+        model=ModelConfig(net="drn_d_22", input_ch=3, n_class=NCLASS,
+                          dtype="float32"),
+        data=dcfg,
+        train=TrainConfig(lr=0.02, num_k=1, epochs=1, lr_schedule="constant",
+                          max_steps=100, log_every=1,
+                          out_dir=str(tmp_path / "run")),
+    )
+    state = train_multitask(cfg, adapt=False, max_iterations=2)
+    assert (tmp_path / "run" / "last.msgpack").exists()
+
+    # resume from 'last': D subtree must be restored, step continues
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train,
+                                       resume=str(tmp_path / "run" / "last"),
+                                       out_dir=str(tmp_path / "run2")))
+    restored, _ = load_checkpoint(str(tmp_path / "run" / "last"))
+    assert "D" in restored.params
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params["D"])[0]),
+        np.asarray(jax.tree.leaves(state.params["D"])[0]),
+    )
+    state2 = train_multitask(cfg2, adapt=False, max_iterations=1)
+    assert int(jax.device_get(state2.step)) == int(jax.device_get(state.step)) + 1
+
+    # resume guard: a non-multitask checkpoint is rejected
+    from mcseg_tpu.train.loops import train_source
+
+    cfg3 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train,
+                                       out_dir=str(tmp_path / "src_run")))
+    train_source(cfg3, max_iterations=1)
+    cfg4 = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, resume=str(tmp_path / "src_run" / "last"),
+            out_dir=str(tmp_path / "run3")))
+    with pytest.raises(ValueError, match="multitask"):
+        train_multitask(cfg4, adapt=False, max_iterations=1)
+
+    # evaluation includes the depth triple (synthetic corpus carries depth)
+    ds = SyntheticDataset(dcfg, "val")
+    miou, hist, table = evaluate(state2, cfg, ds, print_table=False,
+                                 max_batches=2)
+    assert "rmse=" in table and "abs_rel=" in table and "delta<1.25=" in table
+
+
+def test_multitask_depth_supervision_is_crop_consistent():
+    """pp(with_depth=True) returns depth that went through the SAME geometry
+    as the image: flipping is joint, so the depth target of a flipped sample
+    is the mirrored depth."""
+    from mcseg_tpu.core.config import DataConfig
+    from mcseg_tpu.ops.preprocess import make_train_preprocess
+
+    dcfg = DataConfig(src_dataset="synthetic", batch_size=2,
+                      train_img_shape=(16, 16), input_ch=3,
+                      random_crop=False, random_flip=True)
+    pp = make_train_preprocess(dcfg, with_depth=True)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.randint(0, 255, (4, 16, 16, 3)).astype(np.uint8),
+        "label": rng.randint(0, NCLASS, (4, 16, 16)).astype(np.uint8),
+        "depth": rng.rand(4, 16, 16).astype(np.float32) * 3 + 0.5,
+    }
+    img, label, dep = jax.jit(pp)(batch, jax.random.key(3))
+    assert dep.shape == (4, 16, 16)
+    # each sample's depth is either the original or its mirror — and it is
+    # mirrored exactly when the image plane is mirrored
+    mean = np.asarray(jnp.asarray([0.485, 0.456, 0.406]))
+    std = np.asarray(jnp.asarray([0.229, 0.224, 0.225]))
+    for i in range(4):
+        orig_rgb = batch["image"][i].astype(np.float32) / 255.0
+        got_rgb = np.asarray(img[i]) * std + mean
+        flipped = np.allclose(got_rgb, orig_rgb[:, ::-1], atol=1e-5)
+        if flipped:
+            np.testing.assert_allclose(np.asarray(dep[i]),
+                                       batch["depth"][i][:, ::-1], atol=1e-5)
+        else:
+            np.testing.assert_allclose(np.asarray(dep[i]),
+                                       batch["depth"][i], atol=1e-5)
