@@ -63,6 +63,15 @@ class SegDataset:
     # -- per-corpus hooks -------------------------------------------------
     corpus = "nyu"
 
+    @property
+    def label_size(self) -> tuple:
+        """Decode size (W, H) for LABELS. Defaults to decode_size; corpora
+        whose eval protocol scores at a higher native label resolution than
+        the image decode size (Cityscapes: 2048x1024) override this for
+        non-train splits — the tester upsamples logits to the label shape,
+        so mIoU is computed at the reference protocol's resolution."""
+        return self.decode_size
+
     def _index(self, root: str, split: str) -> List[Dict[str, str]]:
         raise NotImplementedError
 
@@ -92,15 +101,15 @@ class SegDataset:
     def _decode_label(self, path: str) -> np.ndarray:
         from mcseg_tpu import native
 
-        w, h = self.decode_size
+        w, h = self.label_size
         if native.available():
             try:
                 return native.decode_gray(path, h, w)
             except IOError:
                 pass
         lbl = Image.open(path)
-        if lbl.size != self.decode_size:
-            lbl = lbl.resize(self.decode_size, Image.NEAREST)
+        if lbl.size != (w, h):
+            lbl = lbl.resize((w, h), Image.NEAREST)
         return np.asarray(lbl, np.uint8)
 
     def _decode_depth(self, path: str) -> np.ndarray:
@@ -128,7 +137,7 @@ class SegDataset:
         out: Dict[str, np.ndarray] = {
             "image": self._decode_rgb(s["rgb"]),
             "label": self._decode_label(s["label"]) if s.get("label") else
-                     np.full(self.decode_size[::-1], 255, np.uint8),
+                     np.full(self.label_size[::-1], 255, np.uint8),
         }
         if "hha" in s:
             out["hha"] = self._decode_rgb(s["hha"])
@@ -145,6 +154,12 @@ class SegDataset:
 class CityscapesDataset(SegDataset):
     corpus = "city"
     decode_size = (1024, 512)
+    #: reference eval protocol scores against full-resolution gtFine labels
+    native_label_size = (2048, 1024)
+
+    @property
+    def label_size(self) -> tuple:
+        return self.decode_size if self.split == "train" else self.native_label_size
 
     def _index(self, root: str, split: str):
         imgs = sorted(
