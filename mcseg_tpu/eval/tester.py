@@ -87,8 +87,18 @@ def evaluate(
     max_batches: Optional[int] = None,
     print_table: bool = True,
     saves_prob: bool = False,
+    mesh=None,
+    num_workers: Optional[int] = None,
 ):
-    """Run evaluation; returns (miou, hist, table_str)."""
+    """Run evaluation; returns (miou, hist, table_str).
+
+    ``mesh``: evaluate data-parallel over the given device mesh — params are
+    replicated, the batch is sharded on 'data', and XLA all-reduces the
+    per-shard fast-hist inside the jit'd step, so epoch-end eval uses every
+    chip instead of stalling an n-chip training run on one. The confusion
+    matrix is bit-identical to the single-device run (integer scatter-adds
+    commute). Host decode uses a ``num_workers`` thread pool (defaults to
+    cfg.data.num_workers)."""
     if hasattr(state_or_params, "params"):
         params, batch_stats = state_or_params.params, state_or_params.batch_stats
     else:
@@ -105,6 +115,20 @@ def evaluate(
     total = jnp.zeros((n_class, n_class), jnp.int32)
     depth_sums = {"n": 0.0, "sse": 0.0, "sabs_rel": 0.0, "sdelta": 0.0}
     bs = min(cfg.data.batch_size, len(dataset))
+    if mesh is not None:
+        from mcseg_tpu.parallel.mesh import replicate, shard_batch
+
+        n_dev = mesh.devices.size
+        bs = max(bs // n_dev, 1) * n_dev  # static shape divisible by the mesh
+        params = replicate(mesh, params)
+        batch_stats = replicate(mesh, batch_stats)
+    if num_workers is None:
+        num_workers = cfg.data.num_workers
+    pool = None
+    if num_workers and num_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(num_workers, thread_name_prefix="mcseg-eval")
 
     def _padded_batches():
         """Full static-shape batches over ALL samples: the tail batch is
@@ -114,7 +138,10 @@ def evaluate(
         n = len(dataset)
         for start in range(0, n, bs):
             idx = list(range(start, min(start + bs, n)))
-            samples = [dataset[i] for i in idx]
+            if pool is not None:
+                samples = list(pool.map(dataset.__getitem__, idx))
+            else:
+                samples = [dataset[i] for i in idx]
             n_pad = bs - len(samples)
             samples += [samples[-1]] * n_pad
             batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
@@ -129,6 +156,10 @@ def evaluate(
     for bi, (raw, n_real) in enumerate(_padded_batches()):
         if max_batches is not None and bi >= max_batches:
             break
+        if mesh is not None:
+            from mcseg_tpu.parallel.mesh import shard_batch
+
+            raw = shard_batch(mesh, raw)
         res = step(params, batch_stats, raw)
         hist, pred = res[0], res[1]
         probs = res[2] if saves_prob else None
@@ -149,6 +180,8 @@ def evaluate(
                     np.save(os.path.join(save_dir, f"{idx:06d}_prob.npy"),
                             np.asarray(probs[k], dtype=np.float16))
 
+    if pool is not None:
+        pool.shutdown(wait=False)
     total = np.asarray(jax.device_get(total))
     table = format_iou_table(total, names[: n_class])
     if with_depth:

@@ -162,3 +162,29 @@ def test_sharded_step_keeps_params_replicated():
     s8, _ = step(state8, img8, label8)
     leaf = jax.tree.leaves(s8.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_eval_hist_identical_to_single_device():
+    """Epoch-end evaluation over the mesh: the psum'd fast-hist is
+    bit-identical to the single-device confusion matrix (integer scatter-adds
+    commute), and mIoU matches exactly."""
+    from mcseg_tpu.core.config import DataConfig, ExperimentConfig
+    from mcseg_tpu.data.datasets import SyntheticDataset
+    from mcseg_tpu.eval.tester import evaluate
+
+    dcfg = DataConfig(src_dataset="synthetic", tgt_dataset="synthetic",
+                      batch_size=8, train_img_shape=(32, 32),
+                      test_img_shape=(32, 32), n_class=NCLASS, max_samples=10)
+    cfg = ExperimentConfig(
+        model=ModelConfig(net="drn_d_22", input_ch=3, n_class=NCLASS,
+                          dtype="float32"),
+        data=dcfg, train=TrainConfig())
+    state, _, _ = create_train_state(cfg.model, cfg.train, jax.random.key(0),
+                                     img_shape=(32, 32))
+    ds = SyntheticDataset(dcfg, "val")
+
+    miou1, hist1, _ = evaluate(state, cfg, ds, print_table=False)
+    mesh = make_mesh()
+    miou8, hist8, _ = evaluate(state, cfg, ds, print_table=False, mesh=mesh)
+    np.testing.assert_array_equal(hist1, hist8)
+    assert miou1 == miou8
