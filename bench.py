@@ -109,9 +109,16 @@ def main():
     mesh = make_mesh()
 
     # Throughput config (BASELINE config 4/5): RGB+HHA early-fusion MCD.
-    w, h = (640, 480) if on_tpu else (64, 64)
-    # batch 24/chip measured fastest on v5e (30.0 img/s/chip vs 28.0 at 8)
-    per_chip_batch = int(os.environ.get("BENCH_PER_CHIP_BATCH", "24" if on_tpu else "1"))
+    # BENCH_IMG_SHAPE=1024x512 sweeps the GTA5->Cityscapes geometry instead.
+    shape_env = os.environ.get("BENCH_IMG_SHAPE")
+    if shape_env:
+        w, h = (int(v) for v in shape_env.lower().split("x"))
+    else:
+        w, h = (640, 480) if on_tpu else (64, 64)
+    # batch 24/chip measured fastest on v5e (30.0 img/s/chip vs 28.0 at 8);
+    # other geometries default to the same pixel budget
+    default_b = max(int(24 * (640 * 480) / (w * h)), 1) if on_tpu else 1
+    per_chip_batch = int(os.environ.get("BENCH_PER_CHIP_BATCH", str(default_b)))
     b = per_chip_batch * n_chips
     num_k = 4
     steps = 20 if on_tpu else 2
@@ -144,7 +151,7 @@ def main():
         return inner(state, xs, ys, xt)
 
     # ---- device-only: raw decode-resolution batches pre-staged in HBM ------
-    h0, w0 = (480, 640) if on_tpu else (64, 64)
+    h0, w0 = (h, w) if (on_tpu or shape_env) else (64, 64)
 
     from mcseg_tpu.data.pipeline import wire_format
 
@@ -218,7 +225,7 @@ def main():
     peak = _peak_flops(jax.devices()[0])
     mfu = (flops_per_step * steps / dt_dev / (peak * n_chips)) if peak else None
     print(json.dumps({
-        "metric": "mcd_train_images_per_sec_per_chip_640x480_rgbhha",
+        "metric": f"mcd_train_images_per_sec_per_chip_{w}x{h}_rgbhha",
         "value": round(dev_per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(dev_per_chip / REFERENCE_PROXY_IMG_PER_SEC_PER_CHIP, 3),

@@ -45,6 +45,13 @@ from mcseg_tpu.train.apply import apply_classifier, apply_generator
 from mcseg_tpu.train.optim import make_lr_schedule, set_lr
 from mcseg_tpu.train.state import MCDTrainState
 
+# Step C unrolling: the scan keeps ONE copy of the loop body in the program
+# (fast compiles); unrolling lets XLA pipeline/fuse across repetitions.
+# Measured on v5e (see docs/ARCHITECTURE.md); MCSEG_STEP_C_UNROLL=0 reverts.
+import os as _os
+
+_STEP_C_UNROLL = _os.environ.get("MCSEG_STEP_C_UNROLL", "1") == "1"
+
 
 def make_mcd_step(
     g, f1, f2, tx_g, tx_f, cfg: TrainConfig, uses_one_classifier: bool = False
@@ -122,7 +129,8 @@ def make_mcd_step(
             return (pg_, opt_g_, sg_), l_c
 
         (pg, opt_g, sg), l_cs = jax.lax.scan(
-            c_iter, (pg, opt_g, sg), jnp.arange(num_k)
+            c_iter, (pg, opt_g, sg), jnp.arange(num_k),
+            unroll=_STEP_C_UNROLL,
         )
 
         new_state = state.replace(

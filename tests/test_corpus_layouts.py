@@ -217,3 +217,36 @@ def test_parity_eval_harness(tmp_path):
         "--keep_import", str(tmp_path / "imported"),
     ])
     assert np.isfinite(miou)
+
+
+def test_prepare_nyu_tool(tmp_path):
+    """tools/prepare_nyu: synthetic official-distribution files (HDF5 labeled
+    mat + v5 labels40/splits) -> our train/val directory convention, loadable
+    by NYUDv2Dataset."""
+    import h5py
+    import scipy.io
+
+    n, H, W = 4, 48, 64
+    rng = np.random.RandomState(0)
+    with h5py.File(tmp_path / "labeled.mat", "w") as f:
+        f["images"] = rng.randint(0, 255, (n, 3, W, H)).astype(np.uint8)
+        f["depths"] = (rng.rand(n, W, H) * 5).astype(np.float32)
+    scipy.io.savemat(tmp_path / "labels40.mat",
+                     {"labels40": rng.randint(0, 41, (H, W, n)).astype(np.uint8)})
+    scipy.io.savemat(tmp_path / "splits.mat",
+                     {"trainNdxs": np.array([[1], [2], [3]]),
+                      "testNdxs": np.array([[4]])})
+
+    from mcseg_tpu.tools.prepare_nyu import main
+
+    out = tmp_path / "nyu"
+    main([str(tmp_path / "labeled.mat"), "--labels40",
+          str(tmp_path / "labels40.mat"), "--splits",
+          str(tmp_path / "splits.mat"), "--out", str(out)])
+    assert len(os.listdir(out / "train_rgb")) == 3
+    assert len(os.listdir(out / "val_rgb")) == 1
+
+    ds = get_dataset("nyu", _cfg(tmp_path), "train")
+    s = ds[0]
+    assert s["image"].shape == (480, 640, 3)  # canonical decode resize
+    assert s["depth"].dtype == np.float32 and s["depth"].max() < 6.0
