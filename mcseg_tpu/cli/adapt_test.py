@@ -41,11 +41,17 @@ def main(argv=None, average_classifiers=None):
         data = dataclasses.replace(data, **overrides)
         cfg = dataclasses.replace(cfg, data=data)
     dataset = get_dataset(data.tgt_dataset, data, args.split)
+    mesh = None
+    if args.all_devices:
+        from mcseg_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     miou, hist, table = evaluate(
         state, cfg, dataset,
         average_classifiers=average_classifiers,
         save_dir=args.outdir,
         saves_prob=args.saves_prob,
+        mesh=mesh,
     )
     return miou
 

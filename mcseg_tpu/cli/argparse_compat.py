@@ -106,6 +106,10 @@ def get_testing_parser(name: str = "test") -> argparse.ArgumentParser:
     p.add_argument("--f1_only", action="store_true",
                    help="score with F1 alone (disables the adapt_tester "
                         "classifier averaging)")
+    p.add_argument("--all_devices", action="store_true",
+                   help="shard evaluation over every local device (params "
+                        "replicated, batch on the 'data' mesh axis; the "
+                        "fast-hist all-reduces on device)")
     p.add_argument("--max_samples", type=int, default=None)
     return p
 

@@ -250,3 +250,29 @@ def test_prepare_nyu_tool(tmp_path):
     s = ds[0]
     assert s["image"].shape == (480, 640, 3)  # canonical decode resize
     assert s["depth"].dtype == np.float32 and s["depth"].max() < 6.0
+
+
+def test_organize_suncg_tool(tmp_path):
+    """tools/organize_suncg: PBRS-style per-house render tree -> our
+    <split>_rgb/_label/_depth convention, loadable by SUNCGDataset."""
+    renders = tmp_path / "renders"
+    for house in ("houseA", "houseB"):
+        for frame in ("000001", "000002"):
+            _png(renders / house / f"{frame}_mlt.png", _rgb())
+            _png(renders / house / f"{frame}_category40.png", _label(n=41))
+            d = (RNG.rand(32, 64) * 4000).astype(np.uint16)
+            _png(renders / house / f"{frame}_depth.png", d)
+    # one unlabeled frame must be skipped
+    _png(renders / "houseA" / "000003_mlt.png", _rgb())
+
+    from mcseg_tpu.tools.organize_suncg import main
+
+    out = tmp_path / "suncg"
+    main([str(renders), "--out", str(out)])
+    assert len(os.listdir(out / "train_rgb")) == 4
+    assert len(os.listdir(out / "train_depth")) == 4
+
+    ds = get_dataset("suncg", _cfg(tmp_path), "train")
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["image"].shape == (480, 640, 3) and "depth" in s
