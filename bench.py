@@ -115,9 +115,12 @@ def main():
         w, h = (int(v) for v in shape_env.lower().split("x"))
     else:
         w, h = (640, 480) if on_tpu else (64, 64)
-    # batch 24/chip measured fastest on v5e (30.0 img/s/chip vs 28.0 at 8);
-    # other geometries default to the same pixel budget
-    default_b = max(int(24 * (640 * 480) / (w * h)), 1) if on_tpu else 1
+    # batch 24/chip measured fastest on v5e (47.0 img/s/chip vs 42.6 at 16,
+    # 47.3 at 32); other geometries default to the same pixel budget snapped
+    # to a multiple of 8 (1024x512: batch 16 -> 24.6 img/s/chip vs 22.0 at 14)
+    default_b = (
+        max(8 * round(24 * (640 * 480) / (w * h) / 8), 8) if on_tpu else 1
+    )
     per_chip_batch = int(os.environ.get("BENCH_PER_CHIP_BATCH", str(default_b)))
     b = per_chip_batch * n_chips
     num_k = 4

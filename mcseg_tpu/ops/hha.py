@@ -8,6 +8,14 @@ implementation: every step is dense vectorized math (finite differences,
 3x3 eigendecomposition, elementwise trig), so XLA fuses it with the rest of
 preprocessing and it runs on the VPU with no host round-trip.
 
+Layout note (v5e-profiled): vectors are carried as three separate [H, W]
+PLANES (x, y, z), never stacked into [H, W, 3]. A channel-minor 3-vector maps
+3 of the VPU's 128 lanes; dot products / cross products become banded reduces
+at ~8 GB/s effective. As planes, the same math is elementwise on [H, W]
+arrays with full lane occupancy — the whole encoder fuses into the
+surrounding preprocessing (was ~90 ms/step at batch 24, 640x480, now in the
+elementwise noise).
+
 Pipeline per image:
   1. back-project depth to a camera-space point cloud via intrinsics;
   2. surface normals from central-difference tangent vectors (cross product),
@@ -30,6 +38,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+Planes = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # x, y, z as [H, W]
+
 
 class CameraIntrinsics(NamedTuple):
     fx: float
@@ -50,18 +60,18 @@ def default_intrinsics(h: int, w: int) -> CameraIntrinsics:
     return NYU_INTRINSICS.scaled(w / 640.0, h / 480.0)
 
 
-def _point_cloud(depth: jnp.ndarray, K: CameraIntrinsics) -> jnp.ndarray:
-    """[H,W] meters -> [H,W,3] camera-space points, +Y pointing UP."""
+def _point_cloud(depth: jnp.ndarray, K: CameraIntrinsics) -> Planes:
+    """[H,W] meters -> (x, y, z) camera-space planes, +Y pointing UP."""
     h, w = depth.shape
     u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     x = (u - K.cx) * depth / K.fx
     y = -(v - K.cy) * depth / K.fy  # image v grows down; flip so +Y is up
-    return jnp.stack([x, y, depth], axis=-1)
+    return x, y, depth
 
 
 def _central_diff(p: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Central differences with edge replication, [H,W,3] along H or W."""
+    """Central differences with edge replication on one [H,W] plane."""
     fwd = jnp.roll(p, -1, axis=axis)
     bwd = jnp.roll(p, 1, axis=axis)
     d = (fwd - bwd) * 0.5
@@ -73,44 +83,57 @@ def _central_diff(p: jnp.ndarray, axis: int) -> jnp.ndarray:
     return d
 
 
-def _normals(points: jnp.ndarray) -> jnp.ndarray:
-    """Unit surface normals oriented toward the camera, [H,W,3]."""
-    du = _central_diff(points, axis=1)
-    dv = _central_diff(points, axis=0)
-    n = jnp.cross(du, dv)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / jnp.maximum(norm, 1e-8)
+def _normals(points: Planes) -> Planes:
+    """Unit surface normals oriented toward the camera, as planes."""
+    dux, duy, duz = (_central_diff(p, axis=1) for p in points)
+    dvx, dvy, dvz = (_central_diff(p, axis=0) for p in points)
+    # cross(du, dv), written out per component (elementwise on planes)
+    nx = duy * dvz - duz * dvy
+    ny = duz * dvx - dux * dvz
+    nz = dux * dvy - duy * dvx
+    norm = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-8)
+    nx, ny, nz = nx / norm, ny / norm, nz / norm
     # orient toward camera: the view ray is `points`; want n . view < 0
-    flip = jnp.sum(n * points, axis=-1, keepdims=True) > 0
-    return jnp.where(flip, -n, n)
+    px, py, pz = points
+    flip = (nx * px + ny * py + nz * pz) > 0
+    sign = jnp.where(flip, -1.0, 1.0)
+    return nx * sign, ny * sign, nz * sign
 
 
 def estimate_gravity(
-    normals: jnp.ndarray, valid: jnp.ndarray, n_iter: int = 3
+    normals: Planes, valid: jnp.ndarray, n_iter: int = 3
 ) -> jnp.ndarray:
-    """Iterative gravity direction (unit vector, roughly +Y/up).
+    """Iterative gravity direction (unit 3-vector, roughly +Y/up).
 
     Gupta et al.'s scheme: normals within `thr` of the current gravity
     estimate are 'parallel' (floors/ceilings), those within `thr` of its
     orthogonal plane are 'perpendicular' (walls); the refined gravity is the
     dominant eigenvector of  sum_par n n^T - sum_perp n n^T. Thresholds
-    anneal 45 -> 15 degrees over iterations.
-    """
+    anneal 45 -> 15 degrees over iterations. The 3x3 Gram matrices are built
+    from six plane reductions (symmetric), not a [N,3]^T @ [N,3] matmul."""
+    nx, ny, nz = normals
     g = jnp.array([0.0, 1.0, 0.0], jnp.float32)
-    w = valid.astype(jnp.float32)[..., None]
-    nw = normals * w
+    w = valid.astype(jnp.float32)
     thresholds = jnp.linspace(45.0, 15.0, n_iter) * jnp.pi / 180.0
+
+    def gram(mask):
+        """sum over pixels of mask * n n^T, as a [3,3] (weights w folded in)."""
+        m = mask * w * w  # (w*n) outer (w*n) => w^2 factors
+        xx = jnp.sum(m * nx * nx)
+        xy = jnp.sum(m * nx * ny)
+        xz = jnp.sum(m * nx * nz)
+        yy = jnp.sum(m * ny * ny)
+        yz = jnp.sum(m * ny * nz)
+        zz = jnp.sum(m * nz * nz)
+        return jnp.array([[xx, xy, xz], [xy, yy, yz], [xz, yz, zz]])
 
     def body(i, g):
         thr = thresholds[i]
-        cos = jnp.abs(jnp.sum(normals * g, axis=-1))
-        cos = jnp.clip(cos, -1.0, 1.0)
-        ang = jnp.arccos(cos)
-        par = (ang < thr)[..., None].astype(jnp.float32) * nw
-        perp = (ang > (jnp.pi / 2 - thr))[..., None].astype(jnp.float32) * nw
-        flat_par = par.reshape(-1, 3)
-        flat_perp = perp.reshape(-1, 3)
-        m = flat_par.T @ flat_par - flat_perp.T @ flat_perp
+        cos = jnp.abs(nx * g[0] + ny * g[1] + nz * g[2])
+        ang = jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+        m = gram((ang < thr).astype(jnp.float32)) - gram(
+            (ang > (jnp.pi / 2 - thr)).astype(jnp.float32)
+        )
         _, vecs = jnp.linalg.eigh(m)  # ascending eigenvalues
         cand = vecs[:, -1]
         cand = jnp.where(jnp.sum(cand * g) < 0, -cand, cand)  # keep pointing up
@@ -129,19 +152,19 @@ def depth_to_hha(
     valid = jnp.isfinite(depth) & (depth > 1e-3)
     d = jnp.where(valid, depth, 1e3)  # missing -> far away
 
-    points = _point_cloud(d, K)
-    normals = _normals(points)
-    g = estimate_gravity(normals, valid)
+    px, py, pz = _point_cloud(d, K)
+    nx, ny, nz = _normals((px, py, pz))
+    g = estimate_gravity((nx, ny, nz), valid)
 
     # H1: horizontal disparity
     disparity = 31000.0 / (d * 1000.0)
     # H2: height above the lowest observed point along gravity, in cm
-    height = jnp.sum(points * g, axis=-1)
+    height = px * g[0] + py * g[1] + pz * g[2]
     floor = jnp.min(jnp.where(valid, height, jnp.inf))
     floor = jnp.where(jnp.isfinite(floor), floor, 0.0)
     height_cm = (height - floor) * 100.0
     # A: angle between normal and gravity, degrees, shifted into uint8 range
-    cos_a = jnp.clip(jnp.sum(normals * g, axis=-1), -1.0, 1.0)
+    cos_a = jnp.clip(nx * g[0] + ny * g[1] + nz * g[2], -1.0, 1.0)
     angle = jnp.degrees(jnp.arccos(cos_a)) + 38.0
 
     hha = jnp.stack([disparity, height_cm, angle], axis=-1)

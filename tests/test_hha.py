@@ -34,20 +34,19 @@ def _wall_depth(z=2.0):
 
 def test_point_cloud_geometry():
     depth = jnp.asarray(_wall_depth(2.0))
-    pts = _point_cloud(depth, K)
+    x, y, z = _point_cloud(depth, K)  # plane layout (see ops/hha.py)
     # center pixel maps to the optical axis
-    c = pts[H // 2, W // 2]
-    np.testing.assert_allclose(np.asarray(c), [0, 0, 2.0], atol=2e-2 * 2)
+    c = [float(x[H // 2, W // 2]), float(y[H // 2, W // 2]), float(z[H // 2, W // 2])]
+    np.testing.assert_allclose(c, [0, 0, 2.0], atol=2e-2 * 2)
     # +Y must point UP (smaller v = upper image = positive Y)
-    assert float(pts[0, W // 2, 1]) > 0
+    assert float(y[0, W // 2]) > 0
 
 
 def test_wall_normals_face_camera():
     depth = jnp.asarray(_wall_depth())
-    n = np.asarray(_normals(_point_cloud(depth, K)))
+    _, _, nz = _normals(_point_cloud(depth, K))
     # frontal wall -> normal ~ (0, 0, -1) (toward camera)
-    inner = n[4:-4, 4:-4]
-    np.testing.assert_allclose(inner[..., 2], -1.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(nz)[4:-4, 4:-4], -1.0, atol=1e-3)
 
 
 def test_gravity_on_floor_scene_points_up():
