@@ -139,7 +139,7 @@ def main():
     )
     state = replicate(mesh, state)
     g, f1, f2 = get_models(model_cfg)
-    pp = make_train_preprocess(data_cfg)
+    pp = make_train_preprocess(data_cfg, compute_dtype=jnp.bfloat16)
     _, tgt_remap, _, _ = get_label_spec("nyu")
     tgt_remap = jnp.asarray(tgt_remap)
     inner = make_mcd_step(g, f1, f2, tx_g, tx_f, train_cfg)

@@ -77,19 +77,20 @@ def _crop_one(img, top, left, ch, cw):
 
 def _normalize_stack(rgb01, extra, input_ch: int) -> jnp.ndarray:
     """rgb01 in [0,1]; extra = HHA in [0,1] (or depth01) or None."""
-    mean = jnp.asarray(RGB_MEAN)
-    std = jnp.asarray(RGB_STD)
+    dt = rgb01.dtype
+    mean = jnp.asarray(RGB_MEAN, dt)
+    std = jnp.asarray(RGB_STD, dt)
     rgb = (rgb01 - mean) / std
     if input_ch == 3:
         return rgb
     if input_ch == 6:
-        hha = (extra - jnp.asarray(HHA_MEAN)) / jnp.asarray(HHA_STD)
+        hha = (extra - jnp.asarray(HHA_MEAN, dt)) / jnp.asarray(HHA_STD, dt)
         return jnp.concatenate([rgb, hha], axis=-1)
     if input_ch == 4:
-        d = (extra - 0.5) / 0.25
+        d = (extra - jnp.asarray(0.5, dt)) / jnp.asarray(0.25, dt)
         return jnp.concatenate([rgb, d], axis=-1)
     if input_ch == 1:
-        return (extra - 0.5) / 0.25
+        return (extra - jnp.asarray(0.5, dt)) / jnp.asarray(0.25, dt)
     raise ValueError(f"unsupported input_ch {input_ch}")
 
 
@@ -127,7 +128,8 @@ def _extra_channels(
 
 
 def make_train_preprocess(
-    cfg: DataConfig, hha_ignore_aspect: bool = True, with_depth: bool = False
+    cfg: DataConfig, hha_ignore_aspect: bool = True, with_depth: bool = False,
+    compute_dtype=jnp.float32,
 ) -> Callable:
     """Build the jit-able train preprocess: (batch_dict, key) -> (img, label).
 
@@ -137,11 +139,16 @@ def make_train_preprocess(
       depth  float32 meters | uint16 mm [B, h0, w0]  optional
       hha    uint8  [B, h0, w0, 3]         optional (precomputed, like the ref)
 
-    Returns img float32 [B, H, W, input_ch], label int32 [B, H, W].
-    ``with_depth=True`` appends a third output: the raw depth plane in METERS
-    carried through the SAME resize/crop/flip as image and label — the
-    multitask variant's supervision target (keeping the aux task geometrically
-    consistent with the segmentation crop).
+    Returns img [B, H, W, input_ch] in ``compute_dtype``, label int32
+    [B, H, W]. ``with_depth=True`` appends a third output: the raw depth plane
+    in METERS (always float32) carried through the SAME resize/crop/flip as
+    image and label — the multitask variant's supervision target (keeping the
+    aux task geometrically consistent with the segmentation crop).
+
+    ``compute_dtype=bfloat16`` (pass the model's dtype) runs the image-plane
+    geometry in bf16 — halves the HBM traffic of resize/crop/flip/normalize.
+    Pixels are 8-bit-quantized sources, so bf16's ~0.4% rounding is below the
+    data's own quantization; HHA encoding and label/depth planes stay exact.
     """
     tw, th = cfg.train_img_shape  # reference flag order (W, H)
     target = (th, tw)
@@ -162,11 +169,13 @@ def make_train_preprocess(
         label_u8 = batch.get("label")
         b = img_u8.shape[0]
 
-        rgb = img_u8.astype(jnp.float32) / 255.0
+        rgb = img_u8.astype(compute_dtype) / 255.0
         label = apply_remap(label_u8, table) if label_u8 is not None else None
 
         extra = (_extra_channels(batch, cfg.input_ch, cfg.hha_on_device)
                  if needs_hha else None)
+        if extra is not None:
+            extra = extra.astype(compute_dtype)
         dep = depth_to_meters(batch["depth"])[..., None] if with_depth else None
 
         # ---- joint geometry ------------------------------------------------

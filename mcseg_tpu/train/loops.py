@@ -24,7 +24,7 @@ from mcseg_tpu.core.config import ExperimentConfig
 from mcseg_tpu.data.datasets import ZipDataset, get_dataset
 from mcseg_tpu.data.labels import get_label_spec
 from mcseg_tpu.data.pipeline import batch_iterator, device_prefetch
-from mcseg_tpu.models.factory import get_models
+from mcseg_tpu.models.factory import _dtype_of, get_models
 from mcseg_tpu.ops.preprocess import make_train_preprocess
 from mcseg_tpu.parallel.mesh import make_mesh, replicate
 from mcseg_tpu.train.mcd import make_mcd_step
@@ -77,7 +77,7 @@ def train_source(
     state, tx_g, tx_f = _init_or_resume(cfg)
     state = replicate(mesh, state)
     g, f1, f2 = get_models(cfg.model)
-    pp = make_train_preprocess(cfg.data)
+    pp = make_train_preprocess(cfg.data, compute_dtype=_dtype_of(cfg.model))
     inner = make_source_step(g, f1, f2, tx_g, tx_f, cfg.train)
     data_key = jax.random.key(cfg.train.seed + 1)
 
@@ -158,8 +158,9 @@ def train_multitask(
         )
     state = replicate(mesh, state)
     g, f1, f2 = get_models(cfg.model)
-    pp_src = make_train_preprocess(cfg.data, with_depth=True)
-    pp_tgt = make_train_preprocess(cfg.data)
+    pp_src = make_train_preprocess(cfg.data, with_depth=True,
+                                   compute_dtype=_dtype_of(cfg.model))
+    pp_tgt = make_train_preprocess(cfg.data, compute_dtype=_dtype_of(cfg.model))
     data_key = jax.random.key(cfg.train.seed + 1)
 
     if adapt:
@@ -242,7 +243,7 @@ def train_adapt(
     state, tx_g, tx_f = _init_or_resume(cfg)
     state = replicate(mesh, state)
     g, f1, f2 = get_models(cfg.model)
-    pp = make_train_preprocess(cfg.data)
+    pp = make_train_preprocess(cfg.data, compute_dtype=_dtype_of(cfg.model))
     _, tgt_remap, _, _ = get_label_spec(cfg.data.tgt_dataset)
     tgt_remap = jnp.asarray(tgt_remap)
     inner = make_mcd_step(
