@@ -66,6 +66,54 @@ def _resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(x, (b, hw[0], hw[1], c), method="bilinear")
 
 
+# ---- fused resize+crop as separable per-sample interpolation matmuls -------
+#
+# The train path's "resize to pre-crop canvas, then dynamic-slice a random
+# window" is equivalent to sampling a shifted grid of the ORIGINAL image:
+#   out[i] = interp(x, t(i)),  t(i) = (top + i + 0.5) * in/pre - 0.5
+# Building the two-tap (bilinear) or one-tap (nearest) interpolation weights
+# as per-sample [out, in] matrices turns the whole geometry into two batched
+# matmuls that run on the MXU — jax.image.resize lowers to serial gather
+# loops on TPU (~17 ms per 24x480x640x3 call, profiled) and the slice+copy
+# disappears entirely. Upscale-only (pre >= in), where the triangle kernel is
+# exactly two-tap, matching jax.image.resize(method='bilinear') semantics.
+
+
+def _interp_matrix(out_size: int, in_size: int, pre_size: int,
+                   offsets: jnp.ndarray, nearest: bool, dtype) -> jnp.ndarray:
+    """[B, out_size, in_size] interpolation weights for t(i) above."""
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    t = (offsets.astype(jnp.float32)[:, None] + i[None, :] + 0.5) * (
+        in_size / pre_size
+    ) - 0.5
+    j = jnp.arange(in_size, dtype=jnp.float32)
+    if nearest:
+        # jax.image.resize 'nearest': index = floor((i+0.5) * in/out)
+        idx = jnp.clip(jnp.floor(t + 0.5), 0, in_size - 1)
+        w = (j[None, None, :] == idx[..., None]).astype(dtype)
+        return w
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(t[..., None] - j[None, None, :]))
+    # edge renormalization (scale_and_translate zeroes out-of-range taps)
+    w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-8)
+    return w.astype(dtype)
+
+
+def _resize_crop_matmul(x: jnp.ndarray, pre: Tuple[int, int],
+                        target: Tuple[int, int], tops: jnp.ndarray,
+                        lefts: jnp.ndarray, nearest: bool = False) -> jnp.ndarray:
+    """x [B, Hin, Win, C] -> [B, target_h, target_w, C]: resize-to-pre + crop
+    fused into A_h @ x @ A_w^T with per-sample matrices."""
+    b, hin, win, _ = x.shape
+    dt = jnp.float32 if nearest else x.dtype
+    a_h = _interp_matrix(target[0], hin, pre[0], tops, nearest, dt)
+    a_w = _interp_matrix(target[1], win, pre[1], lefts, nearest, dt)
+    # only two taps per row are nonzero: fp32 matmul here is exactly the
+    # two-tap lerp (plus zeros), so force full precision for fp32 inputs
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+    y = jnp.einsum("bij,bjwc->biwc", a_h, x.astype(dt), precision=prec)
+    return jnp.einsum("bwk,bikc->biwc", a_w, y, precision=prec)
+
+
 def _resize_nearest_labels(lbl: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     b = lbl.shape[0]
     return jax.image.resize(lbl, (b, hw[0], hw[1]), method="nearest")
@@ -179,28 +227,53 @@ def make_train_preprocess(
         dep = depth_to_meters(batch["depth"])[..., None] if with_depth else None
 
         # ---- joint geometry ------------------------------------------------
-        rgb = _resize_bilinear(rgb, pre)
-        if label is not None:
-            label = _resize_nearest_labels(label, pre)
-        if extra is not None:
-            extra = _resize_bilinear(extra, pre)
-        if dep is not None:
-            dep = _resize_bilinear(dep, pre)
-
-        if cfg.random_crop and pre != target:
+        h0, w0 = img_u8.shape[1], img_u8.shape[2]
+        # matmul path: resize+crop fused into per-sample MXU einsums. Valid
+        # when the pre-crop canvas upscales the decode size (two-tap kernel ==
+        # jax.image.resize); production train configs always upscale.
+        use_matmul = (
+            cfg.random_crop and pre != target
+            and pre[0] >= h0 and pre[1] >= w0
+        )
+        if use_matmul:
             k_top, k_left, k_flip = jax.random.split(key, 3)
             tops = jax.random.randint(k_top, (b,), 0, pre[0] - target[0] + 1)
             lefts = jax.random.randint(k_left, (b,), 0, pre[1] - target[1] + 1)
-            crop = partial(_crop_one, ch=target[0], cw=target[1])
-            rgb = jax.vmap(crop)(rgb, tops, lefts)
+            planes = rgb if extra is None else jnp.concatenate([rgb, extra], -1)
+            planes = _resize_crop_matmul(planes, pre, target, tops, lefts)
+            rgb, extra = (planes, None) if extra is None else (
+                planes[..., :3], planes[..., 3:]
+            )
             if label is not None:
-                label = jax.vmap(crop)(label[..., None], tops, lefts)[..., 0]
-            if extra is not None:
-                extra = jax.vmap(crop)(extra, tops, lefts)
+                label = _resize_crop_matmul(
+                    label[..., None].astype(jnp.float32), pre, target, tops,
+                    lefts, nearest=True,
+                )[..., 0].astype(jnp.int32)  # one-tap 0/1 weights: exact
             if dep is not None:
-                dep = jax.vmap(crop)(dep, tops, lefts)
+                dep = _resize_crop_matmul(dep, pre, target, tops, lefts)
         else:
-            k_flip = key
+            rgb = _resize_bilinear(rgb, pre)
+            if label is not None:
+                label = _resize_nearest_labels(label, pre)
+            if extra is not None:
+                extra = _resize_bilinear(extra, pre)
+            if dep is not None:
+                dep = _resize_bilinear(dep, pre)
+
+            if cfg.random_crop and pre != target:
+                k_top, k_left, k_flip = jax.random.split(key, 3)
+                tops = jax.random.randint(k_top, (b,), 0, pre[0] - target[0] + 1)
+                lefts = jax.random.randint(k_left, (b,), 0, pre[1] - target[1] + 1)
+                crop = partial(_crop_one, ch=target[0], cw=target[1])
+                rgb = jax.vmap(crop)(rgb, tops, lefts)
+                if label is not None:
+                    label = jax.vmap(crop)(label[..., None], tops, lefts)[..., 0]
+                if extra is not None:
+                    extra = jax.vmap(crop)(extra, tops, lefts)
+                if dep is not None:
+                    dep = jax.vmap(crop)(dep, tops, lefts)
+            else:
+                k_flip = key
 
         if cfg.random_flip:
             flip = jax.random.bernoulli(k_flip, 0.5, (b,))

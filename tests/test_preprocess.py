@@ -124,3 +124,54 @@ def test_eval_preprocess_keeps_native_labels():
     img, label = jax.jit(pp)(b)
     assert img.shape == (1, 24, 32, 3)
     assert label.shape == (1, 60, 80)  # native resolution preserved
+
+
+def test_resize_crop_matmul_matches_resize_then_slice():
+    """The fused MXU resize+crop reproduces jax.image.resize -> dynamic-slice
+    exactly (bilinear within fp tolerance; nearest bit-exact on labels)."""
+    from functools import partial
+
+    from mcseg_tpu.ops.preprocess import _crop_one, _resize_crop_matmul
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 30, 40, 3).astype(np.float32))
+    pre, target = (33, 44), (24, 32)
+    tops = jnp.asarray([0, 7])
+    lefts = jnp.asarray([5, 12])
+
+    ref = jax.image.resize(x, (2, *pre, 3), method="bilinear")
+    ref = jax.vmap(partial(_crop_one, ch=target[0], cw=target[1]))(ref, tops, lefts)
+    got = _resize_crop_matmul(x, pre, target, tops, lefts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    lbl = jnp.asarray(rng.randint(0, 41, (2, 30, 40)).astype(np.int32))
+    ref_l = jax.image.resize(lbl, (2, *pre), method="nearest")
+    ref_l = jax.vmap(partial(_crop_one, ch=target[0], cw=target[1]))(
+        ref_l[..., None], tops, lefts
+    )[..., 0]
+    got_l = _resize_crop_matmul(
+        lbl[..., None].astype(jnp.float32), pre, target, tops, lefts,
+        nearest=True,
+    )[..., 0].astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(got_l), np.asarray(ref_l))
+
+
+def test_joint_geometry_aligned_on_matmul_path():
+    """Same alignment property through the fused-matmul geometry (pre-crop
+    canvas upscales the raw size, so the MXU path is taken)."""
+    b = _raw_batch(b=4, h=60, w=80)
+    b["image"][:] = 0
+    b["label"][:] = 1
+    b["image"][:, 20:30, 30:40] = 255
+    b["label"][:, 20:30, 30:40] = 40
+    cfg = _cfg(crop_scale_min=0.7, train_img_shape=(80, 60))
+    pp = make_train_preprocess(cfg)
+    img, label = jax.jit(pp)(b, jax.random.key(5))
+    img, label = np.asarray(img), np.asarray(label)
+    assert img.shape == (4, 60, 80, 3)
+    bright = img[..., 0] > img[..., 0].mean() + img[..., 0].std()
+    cls = label == 39
+    for i in range(4):
+        overlap = (bright[i] & cls[i]).sum()
+        union = (bright[i] | cls[i]).sum()
+        assert union > 0 and overlap / union > 0.8, (i, overlap, union)
