@@ -114,3 +114,99 @@ def test_drn_d_22_forward_matches_torch_mirror():
     )
     assert ours.shape == theirs.shape == (1, 4, 6, 512)
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-3, atol=1e-3)
+
+
+class TBottleneck(tnn.Module):
+    """Torch mirror of the DRN Bottleneck (1x1 -> 3x3 dilated -> 1x1 x4)."""
+
+    def __init__(self, cin, planes, stride=1, dilation=(1, 1)):
+        super().__init__()
+        cout = planes * 4
+        self.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride,
+                                padding=dilation[1], dilation=dilation[1],
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, cout, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(cout)
+        self.proj = None
+        if stride != 1 or cin != cout:
+            self.proj = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                tnn.BatchNorm2d(cout),
+            )
+
+    def forward(self, x):
+        idn = self.proj(x) if self.proj else x
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return torch.relu(y + idn)
+
+
+class TorchDRND54(tnn.Module):
+    """arch D, Bottleneck, layers (1,1,3,4,6,3,1,1) — mirrors drn_d_54."""
+
+    def __init__(self, input_ch=3):
+        super().__init__()
+        ch = (16, 32, 64, 128, 256, 512, 512, 512)
+        self.stem = tnn.Sequential(
+            tnn.Conv2d(input_ch, ch[0], 7, 1, padding=3, bias=False),
+            tnn.BatchNorm2d(ch[0]), tnn.ReLU(inplace=True),
+        )
+        self.layer1 = _conv_stage(ch[0], ch[0], 1, 1)
+        self.layer2 = _conv_stage(ch[0], ch[1], 1, 2)
+
+        def stage(cin, planes, n, stride=1, dilation=1):
+            blocks = [TBottleneck(cin, planes, stride, (dilation, dilation))]
+            for _ in range(1, n):
+                blocks.append(TBottleneck(planes * 4, planes, 1,
+                                          (dilation, dilation)))
+            return tnn.Sequential(*blocks)
+
+        self.layer3 = stage(ch[1], ch[2], 3, stride=2)
+        self.layer4 = stage(ch[2] * 4, ch[3], 4, stride=2)
+        self.layer5 = stage(ch[3] * 4, ch[4], 6, dilation=2)
+        self.layer6 = stage(ch[4] * 4, ch[5], 3, dilation=4)
+        self.layer7 = _conv_stage(ch[5] * 4, ch[6], 1, 1, dilation=2)
+        self.layer8 = _conv_stage(ch[6], ch[7], 1, 1, dilation=1)
+
+    def forward(self, x):
+        x = self.stem(x)
+        for i in range(1, 9):
+            x = getattr(self, f"layer{i}")(x)
+        return x
+
+
+def test_drn_d_54_bottleneck_forward_matches_torch_mirror():
+    """Golden parity for the Bottleneck family (drn_d_54/105): forward through
+    the import shim matches the torch mirror, validating the 1x1-3x3-1x1
+    structure, x4 expansion, projection skips and dilation placement."""
+    torch.manual_seed(0)
+    tm = TorchDRND54()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(torch.rand_like(m.running_var) * 0.5 + 0.75)
+                m.weight.copy_(torch.rand_like(m.weight) * 0.5 + 0.75)
+                m.bias.copy_(torch.randn_like(m.bias) * 0.1)
+
+    cfg = ModelConfig(net="drn_d_54", input_ch=3, n_class=4, dtype="float32")
+    variables = init_models(cfg, jax.random.key(0), img_shape=(16, 16))
+    params, stats = import_torch_state_dict(
+        tm.state_dict(), variables["params"]["G"], variables["batch_stats"]["G"]
+    )
+
+    from mcseg_tpu.models.factory import get_models
+
+    g, _, _ = get_models(cfg)
+    x = np.random.RandomState(0).rand(1, 32, 48, 3).astype(np.float32)
+    ours = g.apply({"params": params, "batch_stats": stats}, jnp.asarray(x), False)
+    theirs = (
+        tm.eval()(torch.from_numpy(x).permute(0, 3, 1, 2))
+        .detach().numpy().transpose(0, 2, 3, 1)
+    )
+    assert ours.shape == theirs.shape == (1, 4, 6, 512)
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-3, atol=1e-3)
