@@ -276,3 +276,27 @@ def test_organize_suncg_tool(tmp_path):
     assert len(ds) == 4
     s = ds[0]
     assert s["image"].shape == (480, 640, 3) and "depth" in s
+
+
+def test_ir_corpus_layout_and_input_ch4(tmp_path):
+    """IR corpus (reference's multispectral option): <split>_ir/ grayscale
+    images join RGB as the 4th channel through the preprocess."""
+    import jax.numpy as jnp
+
+    from mcseg_tpu.ops.preprocess import make_train_preprocess
+
+    root = tmp_path / "ir"
+    for i in range(2):
+        stem = f"{i:05d}"
+        _png(root / "train_rgb" / (stem + ".png"), _rgb())
+        _png(root / "train_label" / (stem + ".png"), _label(n=41))
+        _png(root / "train_ir" / (stem + ".png"),
+             RNG.randint(0, 255, (32, 64)).astype(np.uint8))
+    cfg = _cfg(tmp_path, input_ch=4)
+    ds = get_dataset("ir", cfg, "train")
+    s = ds[0]
+    assert s["ir"].shape == (480, 640)
+    batch = next(batch_iterator(ds, 2, epochs=1))
+    pp = make_train_preprocess(cfg)
+    img, label = jax.jit(pp)(batch, jax.random.key(0))
+    assert img.shape[-1] == 4 and label.shape == img.shape[:3]
