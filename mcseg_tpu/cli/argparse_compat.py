@@ -39,6 +39,8 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max_steps", type=int, default=50_000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", default="", help="checkpoint prefix to resume from")
+    p.add_argument("--tb_dir", default="",
+                   help="also write TensorBoard scalars here")
     p.add_argument("--out_dir", default="./runs/run0")
     p.add_argument("--log_every", type=int, default=50)
 
@@ -52,6 +54,8 @@ def _add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--split", default="train")
     p.add_argument("--max_samples", type=int, default=None,
                    help="mini-split truncation (smoke tests)")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="host decode threads (DataLoader num_workers analog)")
     p.add_argument("--no_random_flip", action="store_true")
     p.add_argument("--no_random_crop", action="store_true")
 
@@ -141,6 +145,7 @@ def args_to_config(args: argparse.Namespace, adapt: bool) -> ExperimentConfig:
         test_img_shape=test_shape,
         input_ch=args.input_ch,
         n_class=n_class,
+        num_workers=getattr(args, "num_workers", 4),
         random_flip=not args.no_random_flip,
         random_crop=not args.no_random_crop,
         max_samples=args.max_samples,
@@ -157,6 +162,7 @@ def args_to_config(args: argparse.Namespace, adapt: bool) -> ExperimentConfig:
         max_steps=args.max_steps,
         seed=args.seed,
         resume=args.resume,
+        tb_dir=getattr(args, "tb_dir", ""),
         out_dir=args.out_dir,
         log_every=args.log_every,
     )

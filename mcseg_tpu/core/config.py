@@ -110,6 +110,7 @@ class TrainConfig:
     resume: str = ""
     out_dir: str = "./runs"
     log_every: int = 50
+    tb_dir: str = ""  # optional TensorBoard event dir (reference's TB-style logger)
     checkpoint_every_epochs: int = 1
 
     def to_dict(self):

@@ -70,8 +70,11 @@ def train_source(
 ):
     """Supervised source-only training (reference source_trainer.py)."""
     mesh = mesh or make_mesh()
-    logger = logger or JsonlLogger()
     out_dir = mkdir_if_not_exist(cfg.train.out_dir)
+    logger = logger or JsonlLogger(
+        path=os.path.join(out_dir, "train_log.jsonl"),
+        tb_dir=cfg.train.tb_dir or None,
+    )
 
     dataset = get_dataset(cfg.data.src_dataset, cfg.data, cfg.data.split)
     state, tx_g, tx_f = _init_or_resume(cfg)
@@ -137,8 +140,11 @@ def train_multitask(
     )
 
     mesh = mesh or make_mesh()
-    logger = logger or JsonlLogger()
     out_dir = mkdir_if_not_exist(cfg.train.out_dir)
+    logger = logger or JsonlLogger(
+        path=os.path.join(out_dir, "train_log.jsonl"),
+        tb_dir=cfg.train.tb_dir or None,
+    )
     tw, th = cfg.data.train_img_shape
 
     _, tx_g, tx_f, d_head = init_multitask_state(
@@ -234,8 +240,11 @@ def train_adapt(
     """MCD adaptation training (reference adapt_trainer.py): zipped
     (source, target) batches through the fused A/B/C step."""
     mesh = mesh or make_mesh()
-    logger = logger or JsonlLogger()
     out_dir = mkdir_if_not_exist(cfg.train.out_dir)
+    logger = logger or JsonlLogger(
+        path=os.path.join(out_dir, "train_log.jsonl"),
+        tb_dir=cfg.train.tb_dir or None,
+    )
 
     src = get_dataset(cfg.data.src_dataset, cfg.data, cfg.data.split)
     tgt = get_dataset(cfg.data.tgt_dataset, cfg.data, cfg.data.split)

@@ -14,7 +14,14 @@ from typing import Any, Dict, Optional
 
 
 class JsonlLogger:
-    def __init__(self, path: Optional[str] = None, echo: bool = True):
+    """JSONL + stdout, with an optional TensorBoard event stream.
+
+    ``tb_dir`` writes every float in the record as a tf.summary scalar (the
+    reference's TensorBoard-style logger surface); requires tensorflow, which
+    is imported lazily only when the flag is set."""
+
+    def __init__(self, path: Optional[str] = None, echo: bool = True,
+                 tb_dir: Optional[str] = None):
         self.path = path
         self.echo = echo
         if path:
@@ -22,12 +29,29 @@ class JsonlLogger:
             self._f = open(path, "a")
         else:
             self._f = None
+        self._tb = None
+        if tb_dir:
+            try:
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(tb_dir)
+            except ImportError:
+                print(f"warning: --tb_dir {tb_dir!r} ignored (no tensorflow)")
 
     def log(self, record: Dict[str, Any]) -> None:
         record = {k: (float(v) if hasattr(v, "item") else v) for k, v in record.items()}
         if self._f:
             self._f.write(json.dumps(record) + "\n")
             self._f.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+
+            step = int(record.get("step", 0))
+            with self._tb.as_default():
+                for k, v in record.items():
+                    if isinstance(v, float) and k != "step":
+                        tf.summary.scalar(k, v, step=step)
+            self._tb.flush()
         if self.echo:
             parts = [f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
                      for k, v in record.items()]

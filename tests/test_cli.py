@@ -98,3 +98,24 @@ def test_early_fusion_maps_to_single_trunk():
     gv = {"params": ve["params"]["G"], "batch_stats": ve["batch_stats"]["G"]}
     feat = g.apply(gv, x, False)
     assert feat.shape == (1, 2, 2, 512)
+
+
+def test_tb_dir_writes_event_files(tmp_path):
+    """--tb_dir surface: JsonlLogger mirrors float scalars into TensorBoard
+    event files (the reference's TB-style logger)."""
+    pytest = __import__("pytest")
+    try:
+        import tensorflow  # noqa: F401
+    except ImportError:
+        pytest.skip("tensorflow unavailable")
+    import os
+
+    from mcseg_tpu.utils.logging import JsonlLogger
+
+    lg = JsonlLogger(path=str(tmp_path / "log.jsonl"),
+                     tb_dir=str(tmp_path / "tb"), echo=False)
+    lg.log({"step": 0, "loss": 1.5})
+    lg.log({"step": 1, "loss": 1.0})
+    lg.close()
+    assert any(f.startswith("events") for f in os.listdir(tmp_path / "tb"))
+    assert len(open(tmp_path / "log.jsonl").readlines()) == 2
