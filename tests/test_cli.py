@@ -119,3 +119,29 @@ def test_tb_dir_writes_event_files(tmp_path):
     lg.close()
     assert any(f.startswith("events") for f in os.listdir(tmp_path / "tb"))
     assert len(open(tmp_path / "log.jsonl").readlines()) == 2
+
+
+def test_make_result_sheet_tool(tmp_path):
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from mcseg_tpu.tools.make_result_sheet import main
+
+    rng = np.random.RandomState(0)
+    for d in ("rgb", "gt", "pred", "out"):
+        os.makedirs(tmp_path / d, exist_ok=True)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (32, 48, 3), np.uint8)).save(
+            tmp_path / "rgb" / f"{i:06d}.png")
+        Image.fromarray(rng.randint(0, 40, (32, 48)).astype(np.uint8)).save(
+            tmp_path / "gt" / f"{i:06d}.png")
+        Image.fromarray(rng.randint(0, 40, (32, 48)).astype(np.uint8)).save(
+            tmp_path / "pred" / f"{i:06d}_label.png")
+    main([str(tmp_path / "rgb"), str(tmp_path / "gt"), str(tmp_path / "pred"),
+          str(tmp_path / "out"), "--dataset", "nyu"])
+    outs = os.listdir(tmp_path / "out")
+    assert len(outs) == 2
+    sheet = np.asarray(Image.open(tmp_path / "out" / outs[0]))
+    assert sheet.shape[1] >= 48 * 3  # input | GT | pred side by side
