@@ -137,3 +137,21 @@ def test_set_lr_overrides():
     st = tx.init(jnp.zeros(3))
     st = set_lr(st, jnp.asarray(0.125))
     assert float(st.hyperparams["learning_rate"]) == 0.125
+
+
+@pytest.mark.slow
+def test_mcd_step_runs_with_psp_trunk():
+    """--net psp through the fused MCD step (dilated R50 + PPM generator)."""
+    mcfg = ModelConfig(net="psp", input_ch=3, n_class=NCLASS, dtype="float32")
+    tcfg = TrainConfig(lr=0.01, num_k=1, lr_schedule="constant", max_steps=10)
+    state, tx_g, tx_f = create_train_state(mcfg, tcfg, jax.random.key(0),
+                                           img_shape=(32, 32))
+    g, f1, f2 = get_models(mcfg)
+    step = jax.jit(make_mcd_step(g, f1, f2, tx_g, tx_f, tcfg))
+    rng = np.random.RandomState(0)
+    xs = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    ys = jnp.asarray(rng.randint(0, NCLASS, (2, 32, 32)))
+    xt = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    new_state, m = step(state, xs, ys, xt)
+    for k in ("loss_source", "loss_b", "loss_dis"):
+        assert np.isfinite(float(m[k])), k
