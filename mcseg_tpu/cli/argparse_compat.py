@@ -43,6 +43,7 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="also write TensorBoard scalars here")
     p.add_argument("--out_dir", default="./runs/run0")
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--checkpoint_every_epochs", type=int, default=1)
 
 
 def _add_data_args(p: argparse.ArgumentParser) -> None:
@@ -165,5 +166,6 @@ def args_to_config(args: argparse.Namespace, adapt: bool) -> ExperimentConfig:
         tb_dir=getattr(args, "tb_dir", ""),
         out_dir=args.out_dir,
         log_every=args.log_every,
+        checkpoint_every_epochs=getattr(args, "checkpoint_every_epochs", 1),
     )
     return ExperimentConfig(model=model, data=data, train=train)
