@@ -44,6 +44,8 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--out_dir", default="./runs/run0")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--checkpoint_every_epochs", type=int, default=1)
+    p.add_argument("--eval_every_epochs", type=int, default=0,
+                   help="run mesh-sharded val mIoU at epoch ends (0 = off)")
 
 
 def _add_data_args(p: argparse.ArgumentParser) -> None:

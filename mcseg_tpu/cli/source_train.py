@@ -13,7 +13,12 @@ def main(argv=None):
     cfg = args_to_config(args, adapt=False)
     mkdir_if_not_exist(cfg.train.out_dir)
     save_dic_to_json(cfg.to_dict(), f"{cfg.train.out_dir}/args.json")
-    train_source(cfg)
+    from mcseg_tpu.cli._epoch_eval import make_epoch_eval_hook
+    from mcseg_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    hook = make_epoch_eval_hook(cfg, mesh, args.eval_every_epochs)
+    train_source(cfg, mesh=mesh, on_epoch_end=hook)
 
 
 if __name__ == "__main__":

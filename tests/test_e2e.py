@@ -90,3 +90,19 @@ def test_adapt_resume_from_checkpoint(tmp_path):
     logger = _Capture()
     state = train_adapt(cfg2, logger=logger, max_iterations=1)
     assert int(state.step) >= 3  # continued counting from the checkpoint
+
+
+@pytest.mark.slow
+def test_eval_every_epochs_hook(tmp_path, capsys):
+    """--eval_every_epochs: epoch-end mesh-sharded val mIoU from the CLI."""
+    from mcseg_tpu.cli import source_train
+
+    source_train.main([
+        "synthetic", "--net", "drn_d_22", "--dtype", "float32",
+        "--batch_size", "8", "--train_img_shape", "32", "32",
+        "--max_samples", "8", "--epochs", "1", "--lr", "0.02",
+        "--lr_schedule", "constant", "--log_every", "1",
+        "--eval_every_epochs", "1", "--out_dir", str(tmp_path / "run"),
+    ])
+    out = capsys.readouterr().out
+    assert "val_mIoU=" in out
