@@ -9,6 +9,7 @@ exercises import_torch_state_dict on a real trunk.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -179,6 +180,7 @@ class TorchDRND54(tnn.Module):
         return x
 
 
+@pytest.mark.slow
 def test_drn_d_54_bottleneck_forward_matches_torch_mirror():
     """Golden parity for the Bottleneck family (drn_d_54/105): forward through
     the import shim matches the torch mirror, validating the 1x1-3x3-1x1
@@ -210,3 +212,60 @@ def test_drn_d_54_bottleneck_forward_matches_torch_mirror():
     )
     assert ours.shape == theirs.shape == (1, 4, 6, 512)
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-3, atol=1e-3)
+
+
+class TorchVGG16Trunk(tnn.Module):
+    """Torch mirror of VGG16FeatureGenerator: 5 conv stages + FCN conv6/7."""
+
+    def __init__(self, input_ch=3):
+        super().__init__()
+        stages = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+        layers = []
+        cin = input_ch
+        for n_convs, ch in stages:
+            for _ in range(n_convs):
+                layers += [tnn.Conv2d(cin, ch, 3, padding=1), tnn.ReLU(True)]
+                cin = ch
+            layers.append(tnn.MaxPool2d(2, 2))
+        self.features = tnn.Sequential(*layers)
+        self.conv6 = tnn.Conv2d(512, 4096, 7, padding=3)
+        self.conv7 = tnn.Conv2d(4096, 4096, 1)
+        # indices of the pool outputs for stages 3 and 4
+        self._p3_end = 2 * 2 + 1 + 2 * 2 + 1 + 3 * 2 + 1  # through pool3
+        self._p4_end = self._p3_end + 3 * 2 + 1
+
+    def forward(self, x):
+        p3 = self.features[: self._p3_end](x)
+        p4 = self.features[self._p3_end: self._p4_end](p3)
+        p5 = self.features[self._p4_end:](p4)
+        y = torch.relu(self.conv6(p5))
+        y = torch.relu(self.conv7(y))
+        return p3, p4, y
+
+
+@pytest.mark.slow
+def test_vgg16_trunk_forward_matches_torch_mirror():
+    """Golden parity for the FCN8s-VGG16 generator: all three skip features
+    (pool3 /8, pool4 /16, conv7 /32) match a torch mirror through the import
+    shim (conv biases included; dropout off in eval)."""
+    torch.manual_seed(0)
+    tm = TorchVGG16Trunk()
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.mul_(0.2)  # tame the un-normalized VGG stack's activations
+
+    from mcseg_tpu.models.factory import get_models
+
+    cfg = ModelConfig(net="fcn8s_vgg16", input_ch=3, n_class=4, dtype="float32")
+    variables = init_models(cfg, jax.random.key(0), img_shape=(32, 32))
+    params, stats = import_torch_state_dict(
+        tm.state_dict(), variables["params"]["G"], variables["batch_stats"]["G"]
+    )
+    g, _, _ = get_models(cfg)
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    ours = g.apply({"params": params, "batch_stats": stats}, jnp.asarray(x), False)
+    theirs = tm.eval()(torch.from_numpy(x).permute(0, 3, 1, 2))
+    for o, t, stride in zip(ours, theirs, (8, 16, 32)):
+        tt = t.detach().numpy().transpose(0, 2, 3, 1)
+        assert o.shape == tt.shape == (1, 64 // stride, 64 // stride, tt.shape[-1])
+        np.testing.assert_allclose(np.asarray(o), tt, rtol=1e-4, atol=1e-5)
