@@ -176,7 +176,7 @@ def _extra_channels(
 
 
 def make_train_preprocess(
-    cfg: DataConfig, hha_ignore_aspect: bool = True, with_depth: bool = False,
+    cfg: DataConfig, with_depth: bool = False,
     compute_dtype=jnp.float32,
 ) -> Callable:
     """Build the jit-able train preprocess: (batch_dict, key) -> (img, label).
