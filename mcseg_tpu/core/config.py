@@ -43,6 +43,11 @@ class ModelConfig:
     # ConvTranspose2d (fill_up_weights) — bit-exact parity, default |
     # 'resize' = jax.image.resize half-pixel bilinear.
     upsample: str = "convt"
+    # Space-to-depth execution of the small-channel early levels (ops/s2d.py):
+    # an exact rearrangement (same network function, same parameter tree) that
+    # avoids XLA:TPU's padded batch-minor layouts for C<32 convs.
+    # 'auto' = on for TPU arch-D trunks, off elsewhere | 'on' | 'off'.
+    s2d: str = "auto"
 
     def to_dict(self):
         return _asdict(self)

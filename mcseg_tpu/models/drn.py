@@ -230,26 +230,57 @@ class DRN(nn.Module):
     channels: Sequence[int] = (16, 32, 64, 128, 256, 512, 512, 512)
     input_ch: int = 3
     dtype: Any = jnp.float32
+    # Space-to-depth execution of levels 0-2 (ops/s2d.py): exact rearrangement,
+    # identical parameter tree — avoids XLA:TPU's padded batch-minor layouts
+    # for sub-32-channel convs (~65% of MCD step time at 640x480 on v5e).
+    s2d: bool = False
 
     @property
     def out_dim(self) -> int:
         return self.channels[-1]
 
+    def _use_s2d(self, x) -> bool:
+        return self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 4 == 0
+
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from mcseg_tpu.ops import s2d as _s2d  # local import: avoid cycle
+
         ch, L = self.channels, self.layers
         x = x.astype(self.dtype)
-        # level 0: 7x7 stem
-        x = _conv(ch[0], 7, 1, dtype=self.dtype, name="conv0")(x)
-        x = _bn(train, dtype=self.dtype, name="bn0")(x)
-        x = nn.relu(x)
-        # levels 1-2
-        if self.arch == "C":
-            x = ResStage(self.block, ch[0], L[0], stride=1, dtype=self.dtype, name="layer1")(x, train)
-            x = ResStage(self.block, ch[1], L[1], stride=2, dtype=self.dtype, name="layer2")(x, train)
-        else:  # arch D
-            x = ConvStage(ch[0], L[0], stride=1, dtype=self.dtype, name="layer1")(x, train)
-            x = ConvStage(ch[1], L[1], stride=2, dtype=self.dtype, name="layer2")(x, train)
+        if self._use_s2d(x):
+            # packed domain: pack (2,4) -> 128ch at conv0/layer1, (1,2) ->
+            # 64ch out of layer2; same math, same variables (ops/s2d.py).
+            xp = _s2d.space_to_depth(x, 2, 4)
+            xp = _s2d.PackedConv(
+                ch[0], 7, 1, in_pack=(2, 4), out_pack=(2, 4),
+                dtype=self.dtype, name="conv0")(xp)
+            xp = _s2d.PackedBatchNorm(
+                groups=8, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                dtype=self.dtype, name="bn0")(xp, train)
+            xp = nn.relu(xp)
+            stage = _s2d.PackedResStage if self.arch == "C" else _s2d.PackedConvStage
+            kw1 = {"n_blocks": L[0]} if self.arch == "C" else {"n_layers": L[0]}
+            kw2 = {"n_blocks": L[1]} if self.arch == "C" else {"n_layers": L[1]}
+            xp = stage(
+                ch[0], stride=1, in_pack=(2, 4), out_pack=(2, 4),
+                dtype=self.dtype, name="layer1", **kw1)(xp, train)
+            xp = stage(
+                ch[1], stride=2, in_pack=(2, 4), out_pack=(1, 2),
+                dtype=self.dtype, name="layer2", **kw2)(xp, train)
+            x = _s2d.depth_to_space(xp, 1, 2)
+        else:
+            # level 0: 7x7 stem
+            x = _conv(ch[0], 7, 1, dtype=self.dtype, name="conv0")(x)
+            x = _bn(train, dtype=self.dtype, name="bn0")(x)
+            x = nn.relu(x)
+            # levels 1-2
+            if self.arch == "C":
+                x = ResStage(self.block, ch[0], L[0], stride=1, dtype=self.dtype, name="layer1")(x, train)
+                x = ResStage(self.block, ch[1], L[1], stride=2, dtype=self.dtype, name="layer2")(x, train)
+            else:  # arch D
+                x = ConvStage(ch[0], L[0], stride=1, dtype=self.dtype, name="layer1")(x, train)
+                x = ConvStage(ch[1], L[1], stride=2, dtype=self.dtype, name="layer2")(x, train)
         # levels 3-4: strided residual
         x = ResStage(self.block, ch[2], L[2], stride=2, dtype=self.dtype, name="layer3")(x, train)
         x = ResStage(self.block, ch[3], L[3], stride=2, dtype=self.dtype, name="layer4")(x, train)
@@ -286,14 +317,21 @@ def drn_variants() -> Tuple[str, ...]:
     return tuple(_DRN_ZOO)
 
 
-def build_drn(net: str, input_ch: int = 3, dtype=jnp.float32) -> DRN:
+def build_drn(net: str, input_ch: int = 3, dtype=jnp.float32, s2d: str = "auto") -> DRN:
     if net not in _DRN_ZOO:
         raise ValueError(f"unknown DRN variant {net!r}; options: {sorted(_DRN_ZOO)}")
     spec = _DRN_ZOO[net]
+    if s2d == "auto":
+        import jax  # noqa: PLC0415
+
+        use_s2d = jax.default_backend() == "tpu"
+    else:
+        use_s2d = s2d in ("on", True, "1", "true")
     return DRN(
         arch=spec["arch"],
         block=spec["block"],
         layers=spec["layers"],
         input_ch=input_ch,
         dtype=dtype,
+        s2d=use_s2d,
     )

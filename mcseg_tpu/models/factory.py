@@ -44,7 +44,7 @@ def get_models(cfg: ModelConfig) -> Tuple[nn.Module, nn.Module, nn.Module]:
         f2 = LateFusionClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
         return g, f1, f2
     if cfg.net in drn_variants():
-        g = build_drn(cfg.net, input_ch=cfg.input_ch, dtype=dt)
+        g = build_drn(cfg.net, input_ch=cfg.input_ch, dtype=dt, s2d=cfg.s2d)
         f1 = PixelClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
         f2 = PixelClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
         return g, f1, f2
