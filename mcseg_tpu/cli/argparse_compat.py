@@ -26,6 +26,9 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--uses_one_classifier", action="store_true")
     p.add_argument("--upsample", default="convt", choices=["resize", "convt"])
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--s2d", default="auto", choices=["auto", "on", "off"],
+                   help="space-to-depth execution of the DRN early levels "
+                        "(exact; ops/s2d.py). auto = on for TPU")
 
 
 def _add_train_args(p: argparse.ArgumentParser) -> None:
@@ -137,6 +140,7 @@ def args_to_config(args: argparse.Namespace, adapt: bool) -> ExperimentConfig:
         uses_one_classifier=args.uses_one_classifier,
         dtype=args.dtype,
         upsample=args.upsample,
+        s2d=getattr(args, "s2d", "auto"),
     )
     data = DataConfig(
         src_dataset=args.src_dataset,

@@ -268,7 +268,14 @@ class DRN(nn.Module):
             xp = stage(
                 ch[1], stride=2, in_pack=(2, 4), out_pack=(1, 2),
                 dtype=self.dtype, name="layer2", **kw2)(xp, train)
+            # Unpack here: carrying the (1,2) pack through level 3 was
+            # measured SLOWER on v5e (55.0 vs 56.2 img/s/chip at 640x480) —
+            # the packed 3x3 convs' extra FLOPs outweigh the doubled MXU
+            # contraction depth once channels reach 64. PackedResStage
+            # supports it if a future geometry disagrees.
             x = _s2d.depth_to_space(xp, 1, 2)
+            x = ResStage(self.block, ch[2], L[2], stride=2, dtype=self.dtype, name="layer3")(x, train)
+            x = ResStage(self.block, ch[3], L[3], stride=2, dtype=self.dtype, name="layer4")(x, train)
         else:
             # level 0: 7x7 stem
             x = _conv(ch[0], 7, 1, dtype=self.dtype, name="conv0")(x)
@@ -281,9 +288,9 @@ class DRN(nn.Module):
             else:  # arch D
                 x = ConvStage(ch[0], L[0], stride=1, dtype=self.dtype, name="layer1")(x, train)
                 x = ConvStage(ch[1], L[1], stride=2, dtype=self.dtype, name="layer2")(x, train)
-        # levels 3-4: strided residual
-        x = ResStage(self.block, ch[2], L[2], stride=2, dtype=self.dtype, name="layer3")(x, train)
-        x = ResStage(self.block, ch[3], L[3], stride=2, dtype=self.dtype, name="layer4")(x, train)
+            # levels 3-4: strided residual
+            x = ResStage(self.block, ch[2], L[2], stride=2, dtype=self.dtype, name="layer3")(x, train)
+            x = ResStage(self.block, ch[3], L[3], stride=2, dtype=self.dtype, name="layer4")(x, train)
         # levels 5-6: dilation instead of stride
         x = ResStage(self.block, ch[4], L[4], dilation=2, new_level=False, dtype=self.dtype, name="layer5")(x, train)
         x = ResStage(self.block, ch[5], L[5], dilation=4, new_level=False, dtype=self.dtype, name="layer6")(x, train)

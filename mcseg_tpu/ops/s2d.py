@@ -148,6 +148,12 @@ def packed_conv(
     w: [kh, kw, ci, co] ORIGINAL kernel.
     Output: [N, Hp', Wp', po_h*po_w*co] packed by out_pack.
     """
+    if tuple(in_pack) == (1, 1) and tuple(out_pack) == (1, 1):
+        return jax.lax.conv_general_dilated(
+            x, w, stride, [(pad[0], pad[0]), (pad[1], pad[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        )
     wp, sp, pp = pack_conv_kernel(w, stride, pad, in_pack, out_pack)
     n, hp, wpx, _ = x.shape
     # logical output size of the original conv

@@ -34,6 +34,11 @@ def test_s2d_roundtrip():
         (7, 1, (2, 2), (2, 2)),  # alternate pack factors
         (3, 2, (2, 2), (1, 1)),  # consume-packed, emit-unpacked
         (1, 2, (2, 2), (1, 1)),  # 1x1 stride-2 projection
+        (3, 2, (1, 2), (1, 2)),  # layer3 block0 conv1 (packed through)
+        (1, 2, (1, 2), (1, 2)),  # layer3 block0 projection
+        (3, 1, (1, 2), (1, 2)),  # layer3 inner convs
+        (3, 2, (1, 2), (1, 1)),  # layer4 block0 conv1 (consume packed)
+        (1, 2, (1, 2), (1, 1)),  # layer4 block0 projection
     ],
 )
 def test_packed_conv_matches_plain(k, s, pi, po):
