@@ -214,6 +214,87 @@ def test_drn_d_54_bottleneck_forward_matches_torch_mirror():
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-3, atol=1e-3)
 
 
+class TNoResBlock(tnn.Module):
+    """Residual-free BasicBlock (DRN arch-C degridding levels 7-8)."""
+
+    def __init__(self, cin, cout, dilation=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cout, 3, 1, padding=dilation,
+                                dilation=dilation, bias=False)
+        self.bn1 = tnn.BatchNorm2d(cout)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, padding=dilation,
+                                dilation=dilation, bias=False)
+        self.bn2 = tnn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        y = torch.relu(self.bn1(self.conv1(x)))
+        return torch.relu(self.bn2(self.conv2(y)))
+
+
+class TorchDRNC26(tnn.Module):
+    """arch C, BasicBlock, layers (1,1,2,2,2,2,1,1) — mirrors drn_c_26:
+    residual levels 1-2, residual-free degridding levels 7-8."""
+
+    def __init__(self, input_ch=3):
+        super().__init__()
+        ch = (16, 32, 64, 128, 256, 512, 512, 512)
+        self.stem = tnn.Sequential(
+            tnn.Conv2d(input_ch, ch[0], 7, 1, padding=3, bias=False),
+            tnn.BatchNorm2d(ch[0]), tnn.ReLU(inplace=True),
+        )
+        self.layer1 = tnn.Sequential(TBasicBlock(ch[0], ch[0], 1))
+        self.layer2 = tnn.Sequential(TBasicBlock(ch[0], ch[1], 2))
+        self.layer3 = tnn.Sequential(
+            TBasicBlock(ch[1], ch[2], 2), TBasicBlock(ch[2], ch[2]))
+        self.layer4 = tnn.Sequential(
+            TBasicBlock(ch[2], ch[3], 2), TBasicBlock(ch[3], ch[3]))
+        self.layer5 = tnn.Sequential(
+            TBasicBlock(ch[3], ch[4], 1, (2, 2)),
+            TBasicBlock(ch[4], ch[4], 1, (2, 2)))
+        self.layer6 = tnn.Sequential(
+            TBasicBlock(ch[4], ch[5], 1, (4, 4)),
+            TBasicBlock(ch[5], ch[5], 1, (4, 4)))
+        self.layer7 = tnn.Sequential(TNoResBlock(ch[5], ch[6], 2))
+        self.layer8 = tnn.Sequential(TNoResBlock(ch[6], ch[7], 1))
+
+    def forward(self, x):
+        x = self.stem(x)
+        for i in range(1, 9):
+            x = getattr(self, f"layer{i}")(x)
+        return x
+
+
+def test_drn_c_26_forward_matches_torch_mirror():
+    """Golden parity for the arch-C family (drn_c_26/42): residual levels
+    1-2 and residual-free degridding levels validated through the import
+    shim against a torch mirror."""
+    torch.manual_seed(0)
+    tm = TorchDRNC26()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(torch.rand_like(m.running_var) * 0.5 + 0.75)
+                m.weight.copy_(torch.rand_like(m.weight) * 0.5 + 0.75)
+                m.bias.copy_(torch.randn_like(m.bias) * 0.1)
+
+    cfg = ModelConfig(net="drn_c_26", input_ch=3, n_class=4, dtype="float32")
+    variables = init_models(cfg, jax.random.key(0), img_shape=(16, 16))
+    params, stats = import_torch_state_dict(
+        tm.state_dict(), variables["params"]["G"], variables["batch_stats"]["G"]
+    )
+
+    g, _, _ = get_models(cfg)
+    x = np.random.RandomState(0).rand(1, 32, 48, 3).astype(np.float32)
+    ours = g.apply({"params": params, "batch_stats": stats}, jnp.asarray(x), False)
+    theirs = (
+        tm.eval()(torch.from_numpy(x).permute(0, 3, 1, 2))
+        .detach().numpy().transpose(0, 2, 3, 1)
+    )
+    assert ours.shape == theirs.shape == (1, 4, 6, 512)
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-3, atol=1e-3)
+
+
 class TorchVGG16Trunk(tnn.Module):
     """Torch mirror of VGG16FeatureGenerator: 5 conv stages + FCN conv6/7."""
 
