@@ -126,6 +126,20 @@ def import_torch_state_dict(
                     tv = np.asarray(
                         widen_first_conv_params(jnp.asarray(tv3), cur.shape[2])
                     )
+            if tv is None:
+                # FCN-style fc->conv: seed a conv kernel from a torch Linear
+                # whose weight is [O, ci*kh*kw] — how the reference FCN8s
+                # convolutionalizes torchvision VGG16's fc6/fc7
+                # (fc6.weight.view(4096, 512, 7, 7)) [SURVEY 2 VGG-FCN row].
+                kh, kw, ci, co = cur.shape
+
+                def fc_to_conv(v, _sh=(co, ci, kh, kw)):
+                    return np.transpose(v.reshape(_sh), (2, 3, 1, 0))
+
+                tv = take(
+                    lambda k, v: k.endswith("weight") and v.ndim == 2
+                    and v.shape == (co, ci * kh * kw),
+                    cur.shape, fc_to_conv)
         elif leaf == "kernel" and cur.ndim == 2:
             tv = take(lambda k, v: k.endswith("weight") and v.ndim == 2,
                       cur.shape, np.transpose)

@@ -82,3 +82,54 @@ def test_import_shape_mismatch_raises():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_vgg16_imagenet_fc_to_conv_import():
+    """torchvision-style VGG16 ImageNet state_dict seeds the FCN trunk: the
+    fc6/fc7 Linears land in our conv6 (7x7) / conv7 (1x1) kernels via the
+    fc->conv reshape (reference FCN8s surgery), and the 1000-class fc8 is
+    ignored. Constructed in-test: torchvision is not installed here."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mcseg_tpu.core.config import ModelConfig
+    from mcseg_tpu.models.factory import get_models, init_models
+    from mcseg_tpu.utils.torch_import import import_torch_state_dict
+
+    rng = np.random.RandomState(0)
+    sd = {}
+    stages = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+    cin, idx = 3, 0
+    for n_convs, ch in stages:
+        for _ in range(n_convs):
+            sd[f"features.{idx}.weight"] = rng.randn(ch, cin, 3, 3).astype(np.float32) * 0.05
+            sd[f"features.{idx}.bias"] = rng.randn(ch).astype(np.float32) * 0.05
+            cin = ch
+            idx += 2  # conv, relu
+        idx += 1  # pool
+    sd["classifier.0.weight"] = rng.randn(4096, 512 * 7 * 7).astype(np.float32) * 0.01
+    sd["classifier.0.bias"] = rng.randn(4096).astype(np.float32) * 0.01
+    sd["classifier.3.weight"] = rng.randn(4096, 4096).astype(np.float32) * 0.01
+    sd["classifier.3.bias"] = rng.randn(4096).astype(np.float32) * 0.01
+    sd["classifier.6.weight"] = rng.randn(1000, 4096).astype(np.float32)  # unused
+    sd["classifier.6.bias"] = rng.randn(1000).astype(np.float32)
+
+    cfg = ModelConfig(net="fcn8s_vgg16", input_ch=3, n_class=4, dtype="float32")
+    variables = init_models(cfg, jax.random.key(0), img_shape=(32, 32))
+    params, stats = import_torch_state_dict(
+        sd, variables["params"]["G"], variables["batch_stats"]["G"])
+
+    want6 = np.transpose(
+        sd["classifier.0.weight"].reshape(4096, 512, 7, 7), (2, 3, 1, 0))
+    np.testing.assert_array_equal(np.asarray(params["conv6"]["kernel"]), want6)
+    want7 = np.transpose(
+        sd["classifier.3.weight"].reshape(4096, 4096, 1, 1), (2, 3, 1, 0))
+    np.testing.assert_array_equal(np.asarray(params["conv7"]["kernel"]), want7)
+    np.testing.assert_array_equal(
+        np.asarray(params["conv1_1"]["kernel"]),
+        np.transpose(sd["features.0.weight"], (2, 3, 1, 0)))
+
+    g, _, _ = get_models(cfg)
+    feats = g.apply({"params": params, "batch_stats": stats},
+                    jnp.zeros((1, 32, 32, 3)), False)
+    assert feats[2].shape == (1, 1, 1, 4096)
