@@ -46,7 +46,7 @@ class ModelConfig:
     # Space-to-depth execution of the small-channel early levels (ops/s2d.py):
     # an exact rearrangement (same network function, same parameter tree) that
     # avoids XLA:TPU's padded batch-minor layouts for C<32 convs.
-    # 'auto' = on for TPU arch-D trunks, off elsewhere | 'on' | 'off'.
+    # 'auto' = on for all DRN trunks on TPU, off elsewhere | 'on' | 'off'.
     s2d: str = "auto"
 
     def to_dict(self):

@@ -240,7 +240,13 @@ class DRN(nn.Module):
         return self.channels[-1]
 
     def _use_s2d(self, x) -> bool:
-        return self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 4 == 0
+        # arch C runs ResStages at levels 1-2; the packed twin exists only
+        # for BasicBlock (arch D's ConvStage levels are block-agnostic).
+        packable = self.arch == "D" or self.block is BasicBlock
+        return (
+            self.s2d and packable
+            and x.shape[1] % 2 == 0 and x.shape[2] % 4 == 0
+        )
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -262,20 +268,19 @@ class DRN(nn.Module):
             stage = _s2d.PackedResStage if self.arch == "C" else _s2d.PackedConvStage
             kw1 = {"n_blocks": L[0]} if self.arch == "C" else {"n_layers": L[0]}
             kw2 = {"n_blocks": L[1]} if self.arch == "C" else {"n_layers": L[1]}
+            bn_kw = {"momentum": BN_MOMENTUM, "epsilon": BN_EPS}
             xp = stage(
                 ch[0], stride=1, in_pack=(2, 4), out_pack=(2, 4),
-                dtype=self.dtype, name="layer1", **kw1)(xp, train)
+                dtype=self.dtype, name="layer1", **bn_kw, **kw1)(xp, train)
             xp = stage(
                 ch[1], stride=2, in_pack=(2, 4), out_pack=(1, 2),
-                dtype=self.dtype, name="layer2", **kw2)(xp, train)
+                dtype=self.dtype, name="layer2", **bn_kw, **kw2)(xp, train)
             # Unpack here: carrying the (1,2) pack through level 3 was
             # measured SLOWER on v5e (55.0 vs 56.2 img/s/chip at 640x480) —
             # the packed 3x3 convs' extra FLOPs outweigh the doubled MXU
             # contraction depth once channels reach 64. PackedResStage
             # supports it if a future geometry disagrees.
             x = _s2d.depth_to_space(xp, 1, 2)
-            x = ResStage(self.block, ch[2], L[2], stride=2, dtype=self.dtype, name="layer3")(x, train)
-            x = ResStage(self.block, ch[3], L[3], stride=2, dtype=self.dtype, name="layer4")(x, train)
         else:
             # level 0: 7x7 stem
             x = _conv(ch[0], 7, 1, dtype=self.dtype, name="conv0")(x)
@@ -288,9 +293,9 @@ class DRN(nn.Module):
             else:  # arch D
                 x = ConvStage(ch[0], L[0], stride=1, dtype=self.dtype, name="layer1")(x, train)
                 x = ConvStage(ch[1], L[1], stride=2, dtype=self.dtype, name="layer2")(x, train)
-            # levels 3-4: strided residual
-            x = ResStage(self.block, ch[2], L[2], stride=2, dtype=self.dtype, name="layer3")(x, train)
-            x = ResStage(self.block, ch[3], L[3], stride=2, dtype=self.dtype, name="layer4")(x, train)
+        # levels 3-4: strided residual (both paths)
+        x = ResStage(self.block, ch[2], L[2], stride=2, dtype=self.dtype, name="layer3")(x, train)
+        x = ResStage(self.block, ch[3], L[3], stride=2, dtype=self.dtype, name="layer4")(x, train)
         # levels 5-6: dilation instead of stride
         x = ResStage(self.block, ch[4], L[4], dilation=2, new_level=False, dtype=self.dtype, name="layer5")(x, train)
         x = ResStage(self.block, ch[5], L[5], dilation=4, new_level=False, dtype=self.dtype, name="layer6")(x, train)

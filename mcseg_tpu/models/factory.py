@@ -39,7 +39,7 @@ def get_models(cfg: ModelConfig) -> Tuple[nn.Module, nn.Module, nn.Module]:
     """Build (G, F1, F2) linen modules for a ModelConfig."""
     dt = _dtype_of(cfg)
     if cfg.fusion == "late":
-        g = LateFusionGenerator(net=cfg.net, dtype=dt)
+        g = LateFusionGenerator(net=cfg.net, dtype=dt, s2d=cfg.s2d)
         f1 = LateFusionClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
         f2 = LateFusionClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
         return g, f1, f2

@@ -31,12 +31,13 @@ class LateFusionGenerator(nn.Module):
 
     net: str = "drn_d_38"
     dtype: Any = jnp.float32
+    s2d: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         rgb, hha = x[..., 0:3], x[..., 3:6]
-        f_rgb = build_drn(self.net, input_ch=3, dtype=self.dtype).copy(name="rgb_trunk")(rgb, train)
-        f_hha = build_drn(self.net, input_ch=3, dtype=self.dtype).copy(name="hha_trunk")(hha, train)
+        f_rgb = build_drn(self.net, input_ch=3, dtype=self.dtype, s2d=self.s2d).copy(name="rgb_trunk")(rgb, train)
+        f_hha = build_drn(self.net, input_ch=3, dtype=self.dtype, s2d=self.s2d).copy(name="hha_trunk")(hha, train)
         return f_rgb, f_hha
 
 

@@ -161,6 +161,11 @@ def packed_conv(
     wd = wpx * in_pack[1]
     oh = (h + 2 * pad[0] - w.shape[0]) // stride[0] + 1
     ow = (wd + 2 * pad[1] - w.shape[1]) // stride[1] + 1
+    if oh % out_pack[0] or ow % out_pack[1]:
+        raise ValueError(
+            f"conv output {oh}x{ow} not divisible by out_pack {out_pack}; "
+            "packed execution would silently truncate — use a compatible "
+            "shape or out_pack=(1, 1)")
     ohp, owp = oh // out_pack[0], ow // out_pack[1]
     # pad-high chosen so the packed conv emits exactly (ohp, owp)
     ph_hi = (ohp - 1) * sp[0] + wp.shape[0] - hp - pp[0]
@@ -260,28 +265,31 @@ class PackedBasicBlock(nn.Module):
     stride: int = 1
     in_pack: Tuple[int, int] = (1, 1)
     out_pack: Tuple[int, int] = (1, 1)
+    momentum: float = 0.9
+    epsilon: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         po = self.out_pack
         gp = po[0] * po[1]
+        bn_kw = dict(groups=gp, momentum=self.momentum, epsilon=self.epsilon,
+                     dtype=self.dtype)
         in_features = x.shape[-1] // (self.in_pack[0] * self.in_pack[1])
         needs_proj = self.stride != 1 or in_features != self.features
         identity = x
         y = PackedConv(self.features, 3, self.stride, in_pack=self.in_pack,
                        out_pack=po, dtype=self.dtype, name="conv1")(x)
-        y = PackedBatchNorm(groups=gp, dtype=self.dtype, name="bn1")(y, train)
+        y = PackedBatchNorm(name="bn1", **bn_kw)(y, train)
         y = nn.relu(y)
         y = PackedConv(self.features, 3, 1, in_pack=po, out_pack=po,
                        dtype=self.dtype, name="conv2")(y)
-        y = PackedBatchNorm(groups=gp, dtype=self.dtype, name="bn2")(y, train)
+        y = PackedBatchNorm(name="bn2", **bn_kw)(y, train)
         if needs_proj:
             identity = PackedConv(
                 self.features, 1, self.stride, in_pack=self.in_pack,
                 out_pack=po, dtype=self.dtype, name="proj_conv")(x)
-            identity = PackedBatchNorm(
-                groups=gp, dtype=self.dtype, name="proj_bn")(identity, train)
+            identity = PackedBatchNorm(name="proj_bn", **bn_kw)(identity, train)
         return nn.relu(y + identity)
 
 
@@ -294,18 +302,22 @@ class PackedResStage(nn.Module):
     stride: int = 1
     in_pack: Tuple[int, int] = (1, 1)
     out_pack: Tuple[int, int] = (1, 1)
+    momentum: float = 0.9
+    epsilon: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        bn_kw = dict(momentum=self.momentum, epsilon=self.epsilon)
         x = PackedBasicBlock(
             features=self.features, stride=self.stride, in_pack=self.in_pack,
-            out_pack=self.out_pack, dtype=self.dtype, name="block0")(x, train)
+            out_pack=self.out_pack, dtype=self.dtype, name="block0",
+            **bn_kw)(x, train)
         for i in range(1, self.n_blocks):
             x = PackedBasicBlock(
                 features=self.features, in_pack=self.out_pack,
                 out_pack=self.out_pack, dtype=self.dtype,
-                name=f"block{i}")(x, train)
+                name=f"block{i}", **bn_kw)(x, train)
         return x
 
 
@@ -317,6 +329,8 @@ class PackedConvStage(nn.Module):
     stride: int = 1
     in_pack: Tuple[int, int] = (1, 1)
     out_pack: Tuple[int, int] = (1, 1)
+    momentum: float = 0.9
+    epsilon: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -329,6 +343,7 @@ class PackedConvStage(nn.Module):
                 dtype=self.dtype, name=f"conv{i}")(x)
             pk = self.out_pack
             x = PackedBatchNorm(
-                groups=pk[0] * pk[1], dtype=self.dtype, name=f"bn{i}")(x, train)
+                groups=pk[0] * pk[1], momentum=self.momentum,
+                epsilon=self.epsilon, dtype=self.dtype, name=f"bn{i}")(x, train)
             x = nn.relu(x)
         return x

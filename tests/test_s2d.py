@@ -203,3 +203,31 @@ def test_drn_s2d_exact_under_f64_oracle(net):
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10),
             (g1, bs1), (g0, bs0))
+
+
+def test_packed_conv_rejects_truncating_geometry():
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 18, 16, 4), jnp.float32)
+    wgt = jnp.asarray(np.random.RandomState(1).randn(3, 3, 4, 4), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible by out_pack"):
+        packed_conv(space_to_depth(x, 2, 2), wgt, (2, 2), (1, 1), (2, 2), (2, 2))
+
+
+def test_late_fusion_honors_s2d():
+    """--fusion late threads cfg.s2d into both trunks: packed and plain
+    late-fusion generators share one parameter tree and compute the same
+    features."""
+    from mcseg_tpu.models.fusion import LateFusionGenerator
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(1, 16, 32, 6), jnp.float32)
+    plain = LateFusionGenerator(net="drn_d_22", dtype=jnp.float32, s2d="off")
+    packed = LateFusionGenerator(net="drn_d_22", dtype=jnp.float32, s2d="on")
+    vs = plain.init(jax.random.key(0), x, False)
+    assert jax.tree_util.tree_structure(
+        packed.init(jax.random.key(0), x, False)
+    ) == jax.tree_util.tree_structure(vs)
+    y0 = plain.apply(vs, x, False)
+    y1 = packed.apply(vs, x, False)
+    for a, b in zip(y1, y0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
