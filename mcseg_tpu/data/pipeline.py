@@ -33,9 +33,14 @@ def _stack_items(items):
     return _stack(items)
 
 
-def _index_batches(n, batch_size, shuffle, seed, drop_last, epochs):
+def _index_batches(n, batch_size, shuffle, seed, drop_last, epochs,
+                   start_epoch=0):
     rng = np.random.RandomState(seed)
-    epoch = 0
+    # burn the skipped epochs' permutations so a resumed run sees exactly
+    # the data stream an uninterrupted run would have seen from here on
+    for _ in range(start_epoch if shuffle else 0):
+        rng.permutation(n)
+    epoch = start_epoch
     while epochs is None or epoch < epochs:
         order = rng.permutation(n) if shuffle else np.arange(n)
         stop = n - batch_size + 1 if drop_last else n
@@ -53,9 +58,15 @@ def batch_iterator(
     epochs: Optional[int] = None,
     num_workers: int = 0,
     prefetch_batches: int = 2,
+    start_epoch: int = 0,
 ) -> Iterator:
     """Yield stacked host batches. For ZipDataset items (src, tgt) yields a
     pair of stacked dicts.
+
+    ``start_epoch`` fast-forwards the stream for ``--resume``: the iterator
+    reproduces epochs [start_epoch, epochs) of the uninterrupted run (the
+    reference's adapt_trainer continues its epoch loop at the checkpointed
+    epoch the same way), so resume is deterministic end to end.
 
     ``num_workers > 1`` decodes samples on a thread pool — the TPU-native
     counterpart of the reference's ``DataLoader(num_workers=N)`` forked
@@ -68,7 +79,8 @@ def batch_iterator(
     n = len(dataset)
     if batch_size > n:
         raise ValueError(f"batch_size {batch_size} > dataset size {n}")
-    idx_iter = _index_batches(n, batch_size, shuffle, seed, drop_last, epochs)
+    idx_iter = _index_batches(n, batch_size, shuffle, seed, drop_last, epochs,
+                              start_epoch)
 
     if num_workers <= 1:
         for idx in idx_iter:

@@ -91,10 +91,11 @@ def train_source(
         return inner(state, img, label)
 
     timer = StepTimer()
-    steps_per_epoch = len(dataset) // cfg.data.batch_size
+    steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
+    start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = device_prefetch(
         batch_iterator(dataset, cfg.data.batch_size, seed=cfg.train.seed,
-                       epochs=cfg.train.epochs,
+                       epochs=cfg.train.epochs, start_epoch=start_epoch,
                        num_workers=cfg.data.num_workers),
         mesh,
     )
@@ -109,13 +110,23 @@ def train_source(
             logger.log({"step": i, **host_metrics,
                         "img_per_sec": timer.items_per_sec})
         if (i + 1) % steps_per_epoch == 0:
-            epoch = (i + 1) // steps_per_epoch
+            epoch = start_epoch + (i + 1) // steps_per_epoch
             if epoch % cfg.train.checkpoint_every_epochs == 0:
                 save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
             if on_epoch_end:
                 on_epoch_end(epoch, state)
     save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
     return state
+
+
+def _start_epoch(cfg: ExperimentConfig, state, steps_per_epoch: int) -> int:
+    """Epoch to resume the data stream at (reference adapt_trainer resumes
+    its epoch loop at the checkpointed epoch): checkpoints are written at
+    epoch boundaries, so the restored per-iteration step counter divides
+    evenly; a mid-epoch step rounds down to replay from the boundary."""
+    if not cfg.train.resume:
+        return 0
+    return int(jax.device_get(state.step)) // steps_per_epoch
 
 
 def train_multitask(
@@ -199,14 +210,15 @@ def train_multitask(
             img, label, ds = pp_src(raw, key)
             return inner(state, img, label, ds)
 
+    timer = StepTimer()
+    steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
+    start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = device_prefetch(
         batch_iterator(dataset, cfg.data.batch_size, seed=cfg.train.seed,
-                       epochs=cfg.train.epochs,
+                       epochs=cfg.train.epochs, start_epoch=start_epoch,
                        num_workers=cfg.data.num_workers),
         mesh,
     )
-    timer = StepTimer()
-    steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
     for i, item in enumerate(it):
         if max_iterations is not None and i >= max_iterations:
             break
@@ -221,7 +233,7 @@ def train_multitask(
             logger.log({"step": i, **host_metrics,
                         "img_per_sec": timer.items_per_sec})
         if (i + 1) % steps_per_epoch == 0:
-            epoch = (i + 1) // steps_per_epoch
+            epoch = start_epoch + (i + 1) // steps_per_epoch
             if epoch % cfg.train.checkpoint_every_epochs == 0:
                 save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
             if on_epoch_end:
@@ -271,9 +283,10 @@ def train_adapt(
 
     timer = StepTimer()
     steps_per_epoch = max(len(zipped) // cfg.data.batch_size, 1)
+    start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = device_prefetch(
         batch_iterator(zipped, cfg.data.batch_size, seed=cfg.train.seed,
-                       epochs=cfg.train.epochs,
+                       epochs=cfg.train.epochs, start_epoch=start_epoch,
                        num_workers=cfg.data.num_workers),
         mesh,
     )
@@ -288,7 +301,7 @@ def train_adapt(
             logger.log({"step": i, **host_metrics,
                         "img_per_sec": timer.items_per_sec})
         if (i + 1) % steps_per_epoch == 0:
-            epoch = (i + 1) // steps_per_epoch
+            epoch = start_epoch + (i + 1) // steps_per_epoch
             if epoch % cfg.train.checkpoint_every_epochs == 0:
                 save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
             if on_epoch_end:

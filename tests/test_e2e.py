@@ -83,8 +83,11 @@ def test_adapt_resume_from_checkpoint(tmp_path):
     cfg = _cfg(tmp_path, epochs=1)
     train_adapt(cfg, logger=_Capture(), max_iterations=2)
     ckpt = str(tmp_path / "run" / "last")
+    # resume with a LARGER epoch budget: --epochs is the total, and resume
+    # continues at the checkpointed epoch (reference adapt_trainer's
+    # `range(start_epoch, num_epochs)`), so epochs=1 would be a no-op here.
     cfg2 = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, resume=ckpt,
+        cfg, train=dataclasses.replace(cfg.train, resume=ckpt, epochs=2,
                                        out_dir=str(tmp_path / "run2")),
     )
     logger = _Capture()
@@ -106,3 +109,37 @@ def test_eval_every_epochs_hook(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "val_mIoU=" in out
+
+
+@pytest.mark.slow
+def test_resume_replays_identical_data_stream(tmp_path):
+    """An interrupted-and-resumed run is BIT-IDENTICAL to an uninterrupted
+    one: --resume fast-forwards the shuffled data stream to the checkpoint's
+    epoch (the reference's adapt_trainer continues its epoch loop the same
+    way), and the per-step RNG folds from state.step."""
+    import dataclasses
+
+    import jax
+
+    cfg4 = _cfg(tmp_path, epochs=4)
+    straight = train_source(
+        dataclasses.replace(
+            cfg4, train=dataclasses.replace(
+                cfg4.train, out_dir=str(tmp_path / "straight"))),
+        logger=_Capture())
+
+    cfg2 = dataclasses.replace(
+        cfg4, train=dataclasses.replace(
+            cfg4.train, epochs=2, out_dir=str(tmp_path / "part1")))
+    train_source(cfg2, logger=_Capture())
+    cfgr = dataclasses.replace(
+        cfg4, train=dataclasses.replace(
+            cfg4.train, resume=str(tmp_path / "part1" / "last"),
+            out_dir=str(tmp_path / "part2")))
+    resumed = train_source(cfgr, logger=_Capture())
+
+    assert int(resumed.step) == int(straight.step)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        resumed.params, straight.params)

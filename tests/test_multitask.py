@@ -119,9 +119,11 @@ def test_multitask_e2e_train_resume_eval(tmp_path):
     state = train_multitask(cfg, adapt=False, max_iterations=2)
     assert (tmp_path / "run" / "last.msgpack").exists()
 
-    # resume from 'last': D subtree must be restored, step continues
+    # resume from 'last': D subtree must be restored, step continues.
+    # epochs is the TOTAL budget and resume continues at the checkpointed
+    # epoch, so extend it to 2 (epochs=1 would be a completed run, no-op).
     cfg2 = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train,
+        cfg, train=dataclasses.replace(cfg.train, epochs=2,
                                        resume=str(tmp_path / "run" / "last"),
                                        out_dir=str(tmp_path / "run2")))
     restored, _ = load_checkpoint(str(tmp_path / "run" / "last"))

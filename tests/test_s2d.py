@@ -156,6 +156,7 @@ def test_drn_s2d_forward_and_grads_match():
         bs1, bs0)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("net", ["drn_d_54", "drn_c_26"])
 def test_drn_s2d_exact_under_f64_oracle(net):
     """Deep-variant (Bottleneck) and arch-C (residual levels 1-2) parity,
