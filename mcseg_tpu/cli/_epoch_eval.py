@@ -16,7 +16,7 @@ def make_epoch_eval_hook(cfg, mesh, every: int, logger=None) -> Optional[callabl
         return None
 
     from mcseg_tpu.data.datasets import get_dataset
-    from mcseg_tpu.eval.tester import evaluate
+    from mcseg_tpu.eval.tester import evaluate, make_eval_step
 
     try:
         dataset = get_dataset(cfg.data.tgt_dataset, cfg.data, "val")
@@ -25,10 +25,16 @@ def make_epoch_eval_hook(cfg, mesh, every: int, logger=None) -> Optional[callabl
               f"{cfg.data.tgt_dataset!r}; epoch-end eval disabled")
         return None
 
+    cache = {}  # one jitted eval step for the whole run, not one per epoch
+
     def hook(epoch: int, state):
         if epoch % every:
             return
-        miou, _, _ = evaluate(state, cfg, dataset, print_table=False, mesh=mesh)
+        if "step" not in cache:
+            with_depth = "D" in state.params and "depth" in dataset[0]
+            cache["step"] = make_eval_step(cfg, True, with_depth=with_depth)
+        miou, _, _ = evaluate(state, cfg, dataset, print_table=False,
+                              mesh=mesh, eval_step=cache["step"])
         line = {"epoch": epoch, "val_miou": round(100.0 * float(miou), 3)}
         if logger is not None:
             logger.log(line)

@@ -23,9 +23,19 @@ def depth_metrics(
     err = jnp.where(valid, p - t, 0.0)
     rmse = jnp.sqrt((err**2).sum() / n)
     abs_rel = (jnp.where(valid, jnp.abs(err) / t, 0.0)).sum() / n
-    ratio = jnp.maximum(p / t, t / p)
+    ratio = _delta_ratio(p, t)
     d125 = (jnp.where(valid, ratio < 1.25, False)).sum() / n
     return {"rmse": rmse, "abs_rel": abs_rel, "delta_1.25": d125}
+
+
+def _delta_ratio(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """max(p/t, t/p) with non-positive predictions scored as failures.
+
+    An unconstrained regression head can emit p <= 0 (common early in
+    training); then p/t < 0 AND t/p <= 0, so the naive max is < 1.25 and a
+    grossly wrong pixel would count as delta-accurate. t is already > 0 on
+    valid pixels."""
+    return jnp.where(p > 0, jnp.maximum(p / t, t / p), jnp.inf)
 
 
 def depth_metric_sums(
@@ -40,7 +50,7 @@ def depth_metric_sums(
     p = jnp.where(valid, pred, 1.0)
     t = jnp.where(valid, target, 1.0)
     err = jnp.where(valid, p - t, 0.0)
-    ratio = jnp.maximum(p / t, t / p)
+    ratio = _delta_ratio(p, t)
     return {
         "n": valid.sum().astype(jnp.float32),
         "sse": (err**2).sum(),

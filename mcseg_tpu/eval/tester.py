@@ -89,6 +89,7 @@ def evaluate(
     saves_prob: bool = False,
     mesh=None,
     num_workers: Optional[int] = None,
+    eval_step=None,
 ):
     """Run evaluation; returns (miou, hist, table_str).
 
@@ -108,8 +109,12 @@ def evaluate(
     # Multitask checkpoints (a 'D' depth-head subtree) are depth-evaluated too,
     # when the eval corpus actually carries depth.
     with_depth = "D" in params and "depth" in dataset[0]
-    step = make_eval_step(cfg, average_classifiers, return_probs=saves_prob,
-                          with_depth=with_depth)
+    # ``eval_step``: pass a prebuilt make_eval_step result to reuse its jit
+    # cache across calls (the --eval_every_epochs hook evaluates every epoch;
+    # a fresh closure per call would retrace each time).
+    step = eval_step or make_eval_step(
+        cfg, average_classifiers, return_probs=saves_prob,
+        with_depth=with_depth)
 
     n_class = cfg.model.n_class
     total = jnp.zeros((n_class, n_class), jnp.int32)

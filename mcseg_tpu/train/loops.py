@@ -111,7 +111,8 @@ def train_source(
                         "img_per_sec": timer.items_per_sec})
         if (i + 1) % steps_per_epoch == 0:
             epoch = start_epoch + (i + 1) // steps_per_epoch
-            if epoch % cfg.train.checkpoint_every_epochs == 0:
+            if (cfg.train.checkpoint_every_epochs > 0
+                    and epoch % cfg.train.checkpoint_every_epochs == 0):
                 save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
             if on_epoch_end:
                 on_epoch_end(epoch, state)
@@ -158,10 +159,13 @@ def train_multitask(
     )
     tw, th = cfg.data.train_img_shape
 
-    _, tx_g, tx_f, d_head = init_multitask_state(
-        cfg.model, cfg.train, jax.random.key(cfg.train.seed), img_shape=(th, tw)
-    )
     if cfg.train.resume:
+        # tiny skeleton: only the optimizer transforms + head module are
+        # needed, the parameters come from the checkpoint
+        _, tx_g, tx_f, d_head = init_multitask_state(
+            cfg.model, cfg.train, jax.random.key(cfg.train.seed),
+            img_shape=(16, 16),
+        )
         state, _ = load_checkpoint(cfg.train.resume)
         if "D" not in state.params:
             raise ValueError(
@@ -169,7 +173,7 @@ def train_multitask(
                 "(no 'D' depth-head subtree)"
             )
     else:
-        state, _, _, _ = init_multitask_state(
+        state, tx_g, tx_f, d_head = init_multitask_state(
             cfg.model, cfg.train, jax.random.key(cfg.train.seed),
             img_shape=(th, tw),
         )
@@ -234,7 +238,8 @@ def train_multitask(
                         "img_per_sec": timer.items_per_sec})
         if (i + 1) % steps_per_epoch == 0:
             epoch = start_epoch + (i + 1) // steps_per_epoch
-            if epoch % cfg.train.checkpoint_every_epochs == 0:
+            if (cfg.train.checkpoint_every_epochs > 0
+                    and epoch % cfg.train.checkpoint_every_epochs == 0):
                 save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
             if on_epoch_end:
                 on_epoch_end(epoch, state)
@@ -302,7 +307,8 @@ def train_adapt(
                         "img_per_sec": timer.items_per_sec})
         if (i + 1) % steps_per_epoch == 0:
             epoch = start_epoch + (i + 1) // steps_per_epoch
-            if epoch % cfg.train.checkpoint_every_epochs == 0:
+            if (cfg.train.checkpoint_every_epochs > 0
+                    and epoch % cfg.train.checkpoint_every_epochs == 0):
                 save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
             if on_epoch_end:
                 on_epoch_end(epoch, state)

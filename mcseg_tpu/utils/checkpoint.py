@@ -78,7 +78,9 @@ def load_checkpoint(
             config.model, config.train, jax.random.key(0), img_shape=(16, 16)
         )
     target = _state_to_dict(skeleton)
-    restored = serialization.from_bytes(target, blob)
+    # raw was already msgpack-restored for the multitask probe above;
+    # from_state_dict avoids deserializing the whole blob a second time.
+    restored = serialization.from_state_dict(target, raw)
     state = MCDTrainState(
         step=jnp.asarray(restored["step"]),
         params=restored["params"],

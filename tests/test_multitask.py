@@ -189,3 +189,17 @@ def test_multitask_depth_supervision_is_crop_consistent():
         else:
             np.testing.assert_allclose(np.asarray(dep[i]),
                                        batch["depth"][i], atol=1e-5)
+
+
+def test_depth_metrics_negative_predictions_are_failures():
+    """A non-positive depth prediction must NOT count as delta<1.25 accurate
+    (p/t and t/p are both <= 0 there, so a naive max-ratio scores it as a
+    hit)."""
+    import jax.numpy as jnp
+
+    from mcseg_tpu.eval.depth_metrics import depth_metrics
+
+    t = jnp.full((1, 2, 2), 2.0)
+    p = jnp.array([[[-1.0, 0.0], [2.0, 2.0]]])
+    m = depth_metrics(p[..., None], t)
+    assert float(m["delta_1.25"]) == 0.5  # only the two exact pixels
