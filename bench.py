@@ -46,8 +46,6 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mcseg_jax_cache")
-
 REFERENCE_PROXY_IMG_PER_SEC_PER_CHIP = 5.0
 
 # bf16 peak FLOP/s per chip by device_kind substring (public TPU specs).
@@ -94,6 +92,10 @@ def _make_corpus(root: str, n: int, w: int, h: int) -> None:
 
 
 def main():
+    from mcseg_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

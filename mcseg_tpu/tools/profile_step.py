@@ -22,7 +22,10 @@ import re
 import shutil
 
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mcseg_jax_cache")
+
+from mcseg_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 
 def summarize_xplane(trace_dir: str, steps: int, top: int = 25) -> str:

@@ -91,6 +91,8 @@ def train_source(
         return inner(state, img, label)
 
     timer = StepTimer()
+    # resumed runs continue the global step in logs/NaN reports
+    step0 = int(jax.device_get(state.step))
     steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = device_prefetch(
@@ -106,8 +108,8 @@ def train_source(
         timer.tick(cfg.data.batch_size)
         if i % cfg.train.log_every == 0:
             host_metrics = jax.device_get(metrics)
-            _check_finite(host_metrics, i)
-            logger.log({"step": i, **host_metrics,
+            _check_finite(host_metrics, step0 + i)
+            logger.log({"step": step0 + i, **host_metrics,
                         "img_per_sec": timer.items_per_sec})
         if (i + 1) % steps_per_epoch == 0:
             epoch = start_epoch + (i + 1) // steps_per_epoch
@@ -215,6 +217,8 @@ def train_multitask(
             return inner(state, img, label, ds)
 
     timer = StepTimer()
+    # resumed runs continue the global step in logs/NaN reports
+    step0 = int(jax.device_get(state.step))
     steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = device_prefetch(
@@ -233,8 +237,8 @@ def train_multitask(
         timer.tick(cfg.data.batch_size)
         if i % cfg.train.log_every == 0:
             host_metrics = jax.device_get(metrics)
-            _check_finite(host_metrics, i)
-            logger.log({"step": i, **host_metrics,
+            _check_finite(host_metrics, step0 + i)
+            logger.log({"step": step0 + i, **host_metrics,
                         "img_per_sec": timer.items_per_sec})
         if (i + 1) % steps_per_epoch == 0:
             epoch = start_epoch + (i + 1) // steps_per_epoch
@@ -287,6 +291,8 @@ def train_adapt(
         return inner(state, xs, ys, xt)
 
     timer = StepTimer()
+    # resumed runs continue the global step in logs/NaN reports
+    step0 = int(jax.device_get(state.step))
     steps_per_epoch = max(len(zipped) // cfg.data.batch_size, 1)
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = device_prefetch(
@@ -302,8 +308,8 @@ def train_adapt(
         timer.tick(cfg.data.batch_size)
         if i % cfg.train.log_every == 0:
             host_metrics = jax.device_get(metrics)
-            _check_finite(host_metrics, i)
-            logger.log({"step": i, **host_metrics,
+            _check_finite(host_metrics, step0 + i)
+            logger.log({"step": step0 + i, **host_metrics,
                         "img_per_sec": timer.items_per_sec})
         if (i + 1) % steps_per_epoch == 0:
             epoch = start_epoch + (i + 1) // steps_per_epoch

@@ -20,17 +20,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: recompiling the DRN autodiff graphs dominates
-# test wall-clock otherwise. The dir is keyed on this machine's CPU features so
-# AOT entries compiled on a different host (which XLA loads with "machine
-# feature mismatch" warnings and subtly different codegen) are never reused.
-import hashlib  # noqa: E402
+# test wall-clock otherwise. Machine- and uid-keyed dir (one convention for
+# CLI/bench/profiler/tests — see utils/compile_cache.py). Tests force it even
+# over a user-set JAX_COMPILATION_CACHE_DIR for reproducible timings.
+from mcseg_tpu.utils.compile_cache import default_cache_dir  # noqa: E402
 
-try:
-    with open("/proc/cpuinfo") as f:
-        _cpu = next((ln for ln in f if ln.startswith("flags")), "")
-except OSError:
-    _cpu = ""
-_machine_key = hashlib.sha1(_cpu.encode()).hexdigest()[:10]
-jax.config.update("jax_compilation_cache_dir", f"/tmp/mcseg_jax_cache_{_machine_key}")
+jax.config.update("jax_compilation_cache_dir", default_cache_dir())
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

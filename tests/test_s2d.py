@@ -156,6 +156,25 @@ def test_drn_s2d_forward_and_grads_match():
         bs1, bs0)
 
 
+def test_drn_c_s2d_forward_matches_fast():
+    """Fast-subset coverage of the arch-C packed path (PackedResStage with
+    residual BasicBlocks): tree identity + eval-mode forward parity. The
+    gradient-level exactness lives in the slow f64 oracle below."""
+    from mcseg_tpu.models.drn import build_drn
+
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.rand(2, 16, 32, 3), jnp.float32)
+    plain = build_drn("drn_c_26", input_ch=3, dtype=jnp.float32, s2d="off")
+    packed = build_drn("drn_c_26", input_ch=3, dtype=jnp.float32, s2d="on")
+    vs = plain.init(jax.random.key(0), x, False)
+    assert jax.tree_util.tree_structure(
+        packed.init(jax.random.key(0), x, False)
+    ) == jax.tree_util.tree_structure(vs)
+    y0 = plain.apply(vs, x, False)
+    y1 = packed.apply(vs, x, False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("net", ["drn_d_54", "drn_c_26"])
 def test_drn_s2d_exact_under_f64_oracle(net):
