@@ -74,9 +74,13 @@ def _make_corpus(root: str, n: int, w: int, h: int) -> None:
     if os.path.exists(done):
         with open(done) as f:
             txt = f.read().strip()
-        have = int(txt) if txt.isdigit() else 0  # pre-round-3 marker said "ok"
-        if have >= n:  # marker records corpus size: bigger batches regenerate
-            return
+        # marker records "n,w,h": a sweep at new geometry or a bigger batch
+        # regenerates instead of silently reusing a mismatched corpus
+        parts = txt.split(",")
+        if len(parts) == 3 and all(p.isdigit() for p in parts):
+            have_n, have_w, have_h = (int(p) for p in parts)
+            if have_n >= n and (have_w, have_h) == (w, h):
+                return
     for sub in ("train_rgb", "train_label", "train_depth"):
         os.makedirs(os.path.join(root, sub), exist_ok=True)
     rng = np.random.RandomState(0)
@@ -88,7 +92,7 @@ def _make_corpus(root: str, n: int, w: int, h: int) -> None:
         Image.fromarray(lbl).save(os.path.join(root, "train_label", f"{i:05d}.png"))
         Image.fromarray(depth).save(os.path.join(root, "train_depth", f"{i:05d}.png"))
     with open(done, "w") as f:
-        f.write(str(n))
+        f.write(f"{n},{w},{h}")
 
 
 def main():

@@ -19,6 +19,9 @@ def main(argv=None, average_classifiers=None):
     """``average_classifiers``: None resolves from the flags — adapt_test
     defaults to averaging F1/F2 (the reference adapt_tester behavior) unless
     --f1_only; source_test passes False and --use_f2 opts back in."""
+    from mcseg_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = get_testing_parser("adapt_test").parse_args(argv)
     if average_classifiers is None:
         average_classifiers = not args.f1_only

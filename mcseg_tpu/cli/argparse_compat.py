@@ -2,10 +2,10 @@
 
 Counterpart of the reference's ``argmyparse.py`` (SURVEY.md sections 2, 5):
 one parser per entry point exposing the SAME flag names (``--net``,
-``--input_ch``, ``--num_k``, ``--lr``, ``--opt``, ``--train_img_shape``,
-``--res`` ... and src/tgt positionals) so reference command lines translate
-1:1, plus post-parse fixups (``fix_img_shape_args``-style) and conversion to
-the frozen ExperimentConfig dataclasses.
+``--input_ch``, ``--num_k``, ``--lr``, ``--opt``, ``--train_img_shape``
+... and src/tgt positionals) so reference command lines translate 1:1, plus
+post-parse fixups (``fix_img_shape_args``-style) and conversion to the
+frozen ExperimentConfig dataclasses.
 """
 
 from __future__ import annotations

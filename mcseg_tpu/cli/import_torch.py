@@ -49,6 +49,9 @@ def _is_bare_state_dict(blob) -> bool:
 
 
 def main(argv=None):
+    from mcseg_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser("import_torch")
     p.add_argument("torch_checkpoint")
     p.add_argument("out_prefix")
@@ -58,6 +61,10 @@ def main(argv=None):
     p.add_argument("--g_key", default="g_state_dict")
     p.add_argument("--f1_key", default="f1_state_dict")
     p.add_argument("--f2_key", default="f2_state_dict")
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
+                   help="compute dtype embedded in the imported config "
+                        "(float32 for bit-exact CPU parity evals)")
+    p.add_argument("--upsample", default="convt", choices=["convt", "resize"])
     p.add_argument("--g_only", action="store_true",
                    help="treat the file as a bare trunk state_dict "
                         "(ImageNet weights); auto-detected when no "
@@ -66,7 +73,8 @@ def main(argv=None):
 
     blob = load_reference_checkpoint(args.torch_checkpoint)
     model_cfg = ModelConfig(net=args.net, input_ch=args.input_ch,
-                            n_class=args.n_class)
+                            n_class=args.n_class, dtype=args.dtype,
+                            upsample=args.upsample)
     cfg = ExperimentConfig(model=model_cfg, data=DataConfig(
         input_ch=args.input_ch, n_class=args.n_class), train=TrainConfig())
     state, _, _ = create_train_state(model_cfg, cfg.train, jax.random.key(0),

@@ -10,6 +10,9 @@ from mcseg_tpu.utils.util import mkdir_if_not_exist, save_dic_to_json
 
 
 def main(argv=None):
+    from mcseg_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = get_da_mcd_training_parser()
     parser.add_argument("--depth_weight", type=float, default=0.5)
     parser.add_argument("--source_only", action="store_true",

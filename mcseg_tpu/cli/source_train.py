@@ -9,6 +9,9 @@ from mcseg_tpu.utils.util import mkdir_if_not_exist, save_dic_to_json
 
 
 def main(argv=None):
+    from mcseg_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = get_src_only_training_parser().parse_args(argv)
     cfg = args_to_config(args, adapt=False)
     mkdir_if_not_exist(cfg.train.out_dir)

@@ -117,7 +117,12 @@ def evaluate(
         with_depth=with_depth)
 
     n_class = cfg.model.n_class
-    total = jnp.zeros((n_class, n_class), jnp.int32)
+    # Per-batch [n,n] hists are int32 (one batch is ~1e7 pixels, far from
+    # overflow) but the *total* over a big sweep is not: Cityscapes
+    # full-protocol val is ~1.05e9 pixels, within ~2x of int32 in the
+    # diagonal-dominant cells. Device hists are collected lazily (dispatch
+    # stays async) and summed host-side in int64 at the end.
+    batch_hists = []
     depth_sums = {"n": 0.0, "sse": 0.0, "sabs_rel": 0.0, "sdelta": 0.0}
     bs = min(cfg.data.batch_size, len(dataset))
     if mesh is not None:
@@ -171,7 +176,7 @@ def evaluate(
         if with_depth:
             for k, v in res[-1].items():
                 depth_sums[k] += float(v)
-        total = total + hist
+        batch_hists.append(hist)
         if save_dir:
             from mcseg_tpu.data.transforms import save_color_png, save_label_png
 
@@ -187,7 +192,9 @@ def evaluate(
 
     if pool is not None:
         pool.shutdown(wait=False)
-    total = np.asarray(jax.device_get(total))
+    total = np.zeros((n_class, n_class), np.int64)
+    for h in batch_hists:
+        total += np.asarray(jax.device_get(h), dtype=np.int64)
     table = format_iou_table(total, names[: n_class])
     if with_depth:
         from mcseg_tpu.eval.depth_metrics import finalize_depth_metrics

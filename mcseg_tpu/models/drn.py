@@ -337,8 +337,14 @@ def build_drn(net: str, input_ch: int = 3, dtype=jnp.float32, s2d: str = "auto")
         import jax  # noqa: PLC0415
 
         use_s2d = jax.default_backend() == "tpu"
+    elif s2d in ("on", True):
+        use_s2d = True
+    elif s2d in ("off", False):
+        use_s2d = False
     else:
-        use_s2d = s2d in ("on", True, "1", "true")
+        # argparse `choices` only guards the CLI path; programmatic
+        # ModelConfig(s2d='ON'/'yes'/...) must not silently lose the fast path.
+        raise ValueError(f"s2d must be 'auto'|'on'|'off' or bool, got {s2d!r}")
     return DRN(
         arch=spec["arch"],
         block=spec["block"],

@@ -277,6 +277,13 @@ class PackedBasicBlock(nn.Module):
                      dtype=self.dtype)
         in_features = x.shape[-1] // (self.in_pack[0] * self.in_pack[1])
         needs_proj = self.stride != 1 or in_features != self.features
+        if not needs_proj and self.in_pack != po:
+            # The residual add below would mix differently-packed tensors
+            # (shape mismatch or silent garbage). No current geometry hits
+            # this; fail loudly if a future one does.
+            raise ValueError(
+                f"PackedBasicBlock without projection requires in_pack == "
+                f"out_pack, got {self.in_pack} vs {po}")
         identity = x
         y = PackedConv(self.features, 3, self.stride, in_pack=self.in_pack,
                        out_pack=po, dtype=self.dtype, name="conv1")(x)

@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument("--split", default="val")
     p.add_argument("--test_img_shape", type=int, nargs=2, default=None)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
+                   help="float32 for bit-exact CPU parity against torch")
     p.add_argument("--f1_only", action="store_true")
     p.add_argument("--outdir", default=None, help="dump label/color PNGs here")
     p.add_argument("--keep_import", default=None,
@@ -53,7 +55,7 @@ def main(argv=None):
     import_torch.main([
         args.torch_checkpoint, prefix,
         "--net", args.net, "--input_ch", str(args.input_ch),
-        "--n_class", str(n_class),
+        "--n_class", str(n_class), "--dtype", args.dtype,
     ])
 
     test_argv = [

@@ -48,10 +48,38 @@ def _check_finite(metrics, step) -> None:
             )
 
 
+# Checkpoint fields that determine the parameter/optimizer tree: resuming
+# with a different value would die later with a cryptic tree mismatch, so
+# _init_or_resume checks them up front and raises a clear error instead.
+_RESUME_STRUCTURAL_FIELDS = (
+    ("model", "net"), ("model", "input_ch"), ("model", "n_class"),
+    ("model", "method"), ("model", "fusion"), ("model", "upsample"),
+    ("train", "opt"),
+)
+
+
+def _check_resume_config(cli_cfg: ExperimentConfig, ckpt_cfg: ExperimentConfig,
+                         resume_path: str) -> None:
+    drift = []
+    for section, name in _RESUME_STRUCTURAL_FIELDS:
+        cli_v = getattr(getattr(cli_cfg, section), name)
+        ckpt_v = getattr(getattr(ckpt_cfg, section), name)
+        if cli_v != ckpt_v:
+            drift.append(f"--{name}: checkpoint has {ckpt_v!r}, CLI has {cli_v!r}")
+    if drift:
+        raise ValueError(
+            f"--resume {resume_path!r} config mismatch — the checkpointed model "
+            "cannot be restored into the requested architecture:\n  "
+            + "\n  ".join(drift)
+            + "\nDrop the conflicting flag(s) or resume a matching checkpoint."
+        )
+
+
 def _init_or_resume(cfg: ExperimentConfig):
     tw, th = cfg.data.train_img_shape
     if cfg.train.resume:
-        state, _ = load_checkpoint(cfg.train.resume)
+        state, ckpt_cfg = load_checkpoint(cfg.train.resume)
+        _check_resume_config(cfg, ckpt_cfg, cfg.train.resume)
         _, tx_g, tx_f = create_train_state(
             cfg.model, cfg.train, jax.random.key(cfg.train.seed), img_shape=(16, 16)
         )
@@ -168,7 +196,8 @@ def train_multitask(
             cfg.model, cfg.train, jax.random.key(cfg.train.seed),
             img_shape=(16, 16),
         )
-        state, _ = load_checkpoint(cfg.train.resume)
+        state, ckpt_cfg = load_checkpoint(cfg.train.resume)
+        _check_resume_config(cfg, ckpt_cfg, cfg.train.resume)
         if "D" not in state.params:
             raise ValueError(
                 f"--resume {cfg.train.resume!r} is not a multitask checkpoint "

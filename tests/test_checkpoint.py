@@ -91,3 +91,37 @@ def test_resume_continues_identically(tmp_path):
 def test_config_roundtrip_dicts():
     cfg = _exp_cfg()
     assert ExperimentConfig.from_dict(cfg.to_dict()) == cfg
+
+
+def test_resume_config_drift_raises(tmp_path):
+    """--resume with a structurally different architecture must fail up front
+    with a clear message, not a cryptic tree mismatch deep in restore."""
+    import dataclasses
+
+    import pytest
+
+    from mcseg_tpu.train.loops import _init_or_resume
+
+    cfg = _exp_cfg()
+    state, _, _ = create_train_state(
+        cfg.model, cfg.train, jax.random.key(0), img_shape=HW
+    )
+    prefix = str(tmp_path / "ep1")
+    save_checkpoint(prefix, state, cfg)
+
+    drifted = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, net="drn_d_38", input_ch=6),
+        train=dataclasses.replace(cfg.train, resume=prefix),
+    )
+    with pytest.raises(ValueError, match="--net.*drn_d_22.*drn_d_38"):
+        _init_or_resume(drifted)
+    with pytest.raises(ValueError, match="--input_ch"):
+        _init_or_resume(drifted)
+
+    # same architecture resumes fine (non-structural fields may differ)
+    ok = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, resume=prefix, lr=0.5)
+    )
+    restored, _, _ = _init_or_resume(ok)
+    _trees_equal(restored.params, state.params)

@@ -140,3 +140,29 @@ def test_conv_init_is_kaiming_fan_out():
     k = np.asarray(variables["params"]["G"]["layer3"]["block0"]["conv1"]["kernel"])
     expected_std = (2.0 / (3 * 3 * k.shape[-1])) ** 0.5
     assert abs(k.std() / expected_std - 1.0) < 0.15
+
+
+def test_build_drn_rejects_bad_s2d_value():
+    """Typoed s2d config ('ON', 'yes', ...) must raise, not silently lose the
+    TPU fast path (argparse choices only guards the CLI path)."""
+    import pytest
+
+    from mcseg_tpu.models.drn import build_drn
+
+    for bad in ("ON", "yes", "True", "1", ""):
+        with pytest.raises(ValueError, match="s2d"):
+            build_drn("drn_d_22", s2d=bad)
+    for ok in ("auto", "on", "off", True, False):
+        build_drn("drn_d_22", s2d=ok)
+
+
+def test_version_matches_pyproject():
+    import os
+    import re
+
+    import mcseg_tpu
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml")) as f:
+        m = re.search(r'^version = "([^"]+)"', f.read(), re.M)
+    assert m and mcseg_tpu.__version__ == m.group(1)

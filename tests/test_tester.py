@@ -38,6 +38,14 @@ def test_all_samples_counted_with_ragged_tail(tmp_path):
     assert len(glob.glob(str(tmp_path / "p" / "*_label.png"))) == 5
 
 
+def test_hist_total_is_int64():
+    # Big sweeps (Cityscapes full val ~1.05e9 px) overflow an int32 total;
+    # evaluate() must hand back an int64 host accumulation.
+    cfg, state, ds = _setup(n_samples=2, bs=2)
+    _, hist, _ = evaluate(state, cfg, ds, print_table=False)
+    assert hist.dtype == np.int64
+
+
 def test_saves_prob_dumps(tmp_path):
     cfg, state, ds = _setup(n_samples=2, bs=2)
     evaluate(state, cfg, ds, print_table=False,
