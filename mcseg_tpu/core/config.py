@@ -82,6 +82,13 @@ class DataConfig:
     # BASELINE.json north_star) vs. load precomputed HHA PNGs like the reference.
     hha_on_device: bool = True
     max_samples: Optional[int] = None  # mini-split truncation for smoke tests
+    # Decoded-sample RAM cache budget (GB, 0 disables): training iterates the
+    # same corpus every epoch, so epochs >= 2 read raw uint8 arrays from RAM
+    # instead of re-running PNG decode — on small hosts decode is the input
+    # ceiling (docs/ARCHITECTURE.md "Numbers"). NYU-scale corpora (~2 GB
+    # decoded) fit entirely; oversized corpora cache a prefix and decode the
+    # rest each epoch.
+    decode_cache_gb: float = 4.0
 
     def to_dict(self):
         return _asdict(self)

@@ -59,6 +59,12 @@ class SegDataset:
                 f"{type(self).__name__}: no samples under {cfg.data_root!r} "
                 f"(split={split!r}) — check the directory layout in datasets.py"
             )
+        # decoded-sample RAM cache (see DataConfig.decode_cache_gb): epochs
+        # after the first skip PNG decode entirely for cached indices
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
+        self._cache_bytes = 0
+        self._cache_budget = int(
+            getattr(cfg, "decode_cache_gb", 0.0) * 1e9)
 
     # -- per-corpus hooks -------------------------------------------------
     corpus = "nyu"
@@ -132,7 +138,19 @@ class SegDataset:
             return arr.astype(np.float32) * 0.001
         return arr.astype(np.float32)
 
+    def _cache_put(self, i: int, sample: Dict[str, np.ndarray]) -> None:
+        if i in self._cache:
+            return
+        nbytes = sum(v.nbytes for v in sample.values())
+        if self._cache_bytes + nbytes > self._cache_budget:
+            return
+        self._cache[i] = sample
+        self._cache_bytes += nbytes
+
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        cached = self._cache.get(i)
+        if cached is not None:
+            return cached  # treat as read-only (shared across epochs)
         s = self.samples[i]
         out: Dict[str, np.ndarray] = {
             "image": self._decode_rgb(s["rgb"]),
@@ -148,7 +166,63 @@ class SegDataset:
             if ir.size != self.decode_size:
                 ir = ir.resize(self.decode_size, Image.BILINEAR)
             out["ir"] = np.asarray(ir, np.uint8)
+        self._cache_put(i, out)
         return out
+
+    def get_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Decode a whole index batch into pre-stacked [N, ...] arrays.
+
+        Fast path: ONE ctypes call per plane into the C++ decoder's own thread
+        pool, writing straight into the final batch buffer — no per-sample
+        Python objects and no np.stack copy (at TPU train rates on a small
+        host, that Python overhead was the input-pipeline ceiling —
+        BENCH_r01 headroom was only 1.06x). Fully-cached batches (epoch >= 2
+        under DataConfig.decode_cache_gb) skip decode entirely and assemble
+        from RAM. Falls back to per-sample __getitem__ (same sample order)
+        without native or for corpora with planes the batch API doesn't
+        cover (ir, missing labels)."""
+        from mcseg_tpu import native
+
+        idx = [int(i) for i in indices]
+        cache = getattr(self, "_cache", None)
+        if cache is not None and all(i in cache for i in idx):
+            return _stack_samples([cache[i] for i in idx])
+        file_list = getattr(self, "samples", None)  # procedural corpora: none
+        samples = [file_list[i] for i in idx] if file_list else []
+        usable = (
+            bool(samples)
+            and native.available()
+            and all(s.get("rgb") and s.get("label") for s in samples)
+            and not any("ir" in s for s in samples)
+        )
+        if not usable:
+            return _stack_samples([self[i] for i in idx])
+        w, h = self.decode_size
+        lw, lh = self.label_size
+        try:
+            out: Dict[str, np.ndarray] = {
+                "image": native.decode_rgb_batch([s["rgb"] for s in samples], h, w),
+                "label": native.decode_gray_batch(
+                    [s["label"] for s in samples], lh, lw),
+            }
+            if all("hha" in s for s in samples):
+                out["hha"] = native.decode_rgb_batch(
+                    [s["hha"] for s in samples], h, w)
+            if all("depth" in s for s in samples):
+                out["depth"] = native.decode_depth16_batch(
+                    [s["depth"] for s in samples], h, w)
+        except IOError:
+            return _stack_samples([self[i] for i in idx])
+        if cache is not None:
+            for k, i in enumerate(idx):
+                # per-sample copies, not views: a view would pin the whole
+                # batch buffer while being accounted at slice size
+                self._cache_put(i, {key: v[k].copy() for key, v in out.items()})
+        return out
+
+
+def _stack_samples(samples) -> Dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
 class CityscapesDataset(SegDataset):
@@ -361,3 +435,7 @@ class ZipDataset:
 
     def __getitem__(self, i: int):
         return self.source[i], self.target[i]
+
+    def get_batch(self, indices):
+        """(source batch dict, target batch dict) via each side's fast path."""
+        return self.source.get_batch(indices), self.target.get_batch(indices)

@@ -82,15 +82,36 @@ def batch_iterator(
     idx_iter = _index_batches(n, batch_size, shuffle, seed, drop_last, epochs,
                               start_epoch)
 
+    # Whole-batch fast path (datasets.get_batch): one ctypes call per plane
+    # into the native decoder's own thread pool, decoding straight into the
+    # final [N, ...] buffers — no per-sample Python objects, no np.stack copy.
+    # Identical sample order to the per-sample path for a given seed.
+    batched = getattr(dataset, "get_batch", None)
+
     if num_workers <= 1:
-        for idx in idx_iter:
-            yield _stack_items([dataset[int(j)] for j in idx])
+        if batched is not None:
+            for idx in idx_iter:
+                yield batched(idx)
+        else:
+            for idx in idx_iter:
+                yield _stack_items([dataset[int(j)] for j in idx])
         return
 
     ex = ThreadPoolExecutor(num_workers, thread_name_prefix="mcseg-decode")
     try:
-        pending: deque = deque()  # each entry: list of per-sample futures
-        for idx in idx_iter:
+        pending: deque = deque()
+        if batched is not None:
+            # one future per batch; the native layer threads across samples
+            # inside the call (and releases the GIL), so the pool only needs
+            # to keep prefetch_batches decodes in flight
+            for idx in idx_iter:
+                pending.append(ex.submit(batched, idx))
+                if len(pending) > prefetch_batches:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+            return
+        for idx in idx_iter:  # each entry: list of per-sample futures
             pending.append([ex.submit(dataset.__getitem__, int(j)) for j in idx])
             if len(pending) > prefetch_batches:
                 yield _stack_items([f.result() for f in pending.popleft()])

@@ -146,15 +146,20 @@ def evaluate(
         contributes nothing to the confusion matrix (the reference evaluates
         every test image; dropping the tail would skew mIoU)."""
         n = len(dataset)
+        batched = getattr(dataset, "get_batch", None)
         for start in range(0, n, bs):
             idx = list(range(start, min(start + bs, n)))
-            if pool is not None:
-                samples = list(pool.map(dataset.__getitem__, idx))
+            n_pad = bs - len(idx)
+            if batched is not None:
+                # whole-batch native decode; pad by repeating the last sample
+                batch = batched(idx + [idx[-1]] * n_pad)
             else:
-                samples = [dataset[i] for i in idx]
-            n_pad = bs - len(samples)
-            samples += [samples[-1]] * n_pad
-            batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+                if pool is not None:
+                    samples = list(pool.map(dataset.__getitem__, idx))
+                else:
+                    samples = [dataset[i] for i in idx]
+                samples += [samples[-1]] * n_pad
+                batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
             if n_pad:
                 batch["label"] = batch["label"].copy()
                 batch["label"][len(idx):] = 255

@@ -74,7 +74,10 @@ class PSPFeatureGenerator(nn.Module):
         x = _conv(64, 7, 2, dtype=self.dtype, name="conv0")(x)
         x = _bn(train, dtype=self.dtype, name="bn0")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        # torch MaxPool2d(3, 2, padding=1) semantics: symmetric (1,1) padding
+        # (with -inf fill), NOT 'SAME' (which pads (0,1) on even sizes and
+        # shifts the grid by one pixel vs the torch reference)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         # ResNet-50 stages; dilation replaces stride in stages 4-5 -> /8
         x = ResStage(Bottleneck, 64, 3, stride=1, dtype=self.dtype, name="layer1")(x, train)
         x = ResStage(Bottleneck, 128, 4, stride=2, dtype=self.dtype, name="layer2")(x, train)

@@ -60,8 +60,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, u8p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.mcseg_decode_gray_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, u8p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.mcseg_decode_depth16_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, f32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ]
         for fn in ("mcseg_decode_rgb", "mcseg_decode_gray",
-                   "mcseg_decode_depth16", "mcseg_decode_rgb_batch"):
+                   "mcseg_decode_depth16", "mcseg_decode_rgb_batch",
+                   "mcseg_decode_gray_batch", "mcseg_decode_depth16_batch"):
             getattr(lib, fn).restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -98,15 +107,44 @@ def decode_depth16(path: str, h: int, w: int, scale: float = 0.001) -> np.ndarra
     return out
 
 
+def _auto_threads(n_threads: int) -> int:
+    if n_threads <= 0:
+        n_threads = min(max(os.cpu_count() or 1, 1), 8)
+    return n_threads
+
+
 def decode_rgb_batch(paths: Sequence[str], h: int, w: int,
                      n_threads: int = 0) -> np.ndarray:
     lib = _load()
     n = len(paths)
     out = np.empty((n, h, w, 3), np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    if n_threads <= 0:
-        n_threads = min(max(os.cpu_count() or 1, 1), 8)
-    rc = lib.mcseg_decode_rgb_batch(arr, n, out, h, w, n_threads)
+    rc = lib.mcseg_decode_rgb_batch(arr, n, out, h, w, _auto_threads(n_threads))
+    if rc:
+        raise IOError(f"native batch decode failed ({rc})")
+    return out
+
+
+def decode_gray_batch(paths: Sequence[str], h: int, w: int,
+                      n_threads: int = 0) -> np.ndarray:
+    lib = _load()
+    n = len(paths)
+    out = np.empty((n, h, w), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.mcseg_decode_gray_batch(arr, n, out, h, w, _auto_threads(n_threads))
+    if rc:
+        raise IOError(f"native batch decode failed ({rc})")
+    return out
+
+
+def decode_depth16_batch(paths: Sequence[str], h: int, w: int,
+                         scale: float = 0.001, n_threads: int = 0) -> np.ndarray:
+    lib = _load()
+    n = len(paths)
+    out = np.empty((n, h, w), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.mcseg_decode_depth16_batch(arr, n, out, h, w, scale,
+                                        _auto_threads(n_threads))
     if rc:
         raise IOError(f"native batch decode failed ({rc})")
     return out

@@ -12,7 +12,9 @@
 //   mcseg_decode_rgb(path, out_u8, H, W)            -> 0 | errcode
 //   mcseg_decode_gray(path, out_u8, H, W)           -> 0 | errcode
 //   mcseg_decode_depth16(path, out_f32, H, W, scale)-> 0 | errcode
-//   mcseg_decode_rgb_batch(paths, n, out, H, W, n_threads) -> 0 | first err
+//   mcseg_decode_rgb_batch(paths, n, out, H, W, n_threads)    -> 0 | first err
+//   mcseg_decode_gray_batch(paths, n, out, H, W, n_threads)   -> 0 | first err
+//   mcseg_decode_depth16_batch(paths, n, out, H, W, s, n_thr) -> 0 | first err
 //
 // Errors: 1 open failure, 2 decode failure, 3 unsupported format.
 
@@ -275,6 +277,47 @@ int mcseg_decode_rgb_batch(const char** paths, int n, uint8_t* out, int H,
       int i = next.fetch_add(1);
       if (i >= n) break;
       int rc = mcseg_decode_rgb(paths[i], out + (size_t)i * H * W * 3, H, W);
+      if (rc && !err.load()) err.store(rc);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads - 1; t++) ts.emplace_back(worker);
+  worker();
+  for (auto& t : ts) t.join();
+  return err.load();
+}
+
+// Threaded batch decode of single-channel label maps into [N, H, W] uint8.
+int mcseg_decode_gray_batch(const char** paths, int n, uint8_t* out, int H,
+                            int W, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), err(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int rc = mcseg_decode_gray(paths[i], out + (size_t)i * H * W, H, W);
+      if (rc && !err.load()) err.store(rc);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads - 1; t++) ts.emplace_back(worker);
+  worker();
+  for (auto& t : ts) t.join();
+  return err.load();
+}
+
+// Threaded batch decode of 16-bit depth PNGs into [N, H, W] float meters.
+int mcseg_decode_depth16_batch(const char** paths, int n, float* out, int H,
+                               int W, float scale, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), err(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int rc = mcseg_decode_depth16(paths[i], out + (size_t)i * H * W, H, W,
+                                    scale);
       if (rc && !err.load()) err.store(rc);
     }
   };

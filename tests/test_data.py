@@ -191,3 +191,121 @@ def test_depth_to_meters_roundtrip():
     np.testing.assert_allclose(back, d, atol=5.1e-4)  # half-mm quantization
     # float32 passes through untouched
     np.testing.assert_array_equal(np.asarray(depth_to_meters(jnp.asarray(d))), d)
+
+
+def _write_nyu_fixture(root, n=5, w=32, h=24, with_depth=True):
+    import os
+
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    for sub in ("train_rgb", "train_label") + (("train_depth",) if with_depth else ()):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    for i in range(n):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+            os.path.join(root, "train_rgb", f"{i:03d}.png"))
+        Image.fromarray(rng.randint(0, 41, (h, w)).astype(np.uint8)).save(
+            os.path.join(root, "train_label", f"{i:03d}.png"))
+        if with_depth:
+            Image.fromarray((rng.rand(h, w) * 4000 + 500).astype(np.uint16)).save(
+                os.path.join(root, "train_depth", f"{i:03d}.png"))
+
+
+def test_get_batch_matches_per_sample(tmp_path):
+    """The whole-batch native decode path (datasets.get_batch — one ctypes
+    call per plane, no np.stack) yields exactly the per-sample path's arrays,
+    in the same order."""
+    from mcseg_tpu.data.datasets import NYUDv2Dataset
+
+    _write_nyu_fixture(str(tmp_path), n=5)
+    cfg = _cfg(data_root=str(tmp_path))
+    ds = NYUDv2Dataset(cfg, "train")
+    ds.decode_size = (32, 24)
+    idx = [3, 0, 4]
+    batch = ds.get_batch(idx)
+    assert set(batch) == {"image", "label", "depth"}
+    for k in batch:
+        ref = np.stack([ds[i][k] for i in idx])
+        np.testing.assert_array_equal(batch[k], ref, err_msg=k)
+
+
+def test_get_batch_fallback_without_native(tmp_path, monkeypatch):
+    from mcseg_tpu.data.datasets import NYUDv2Dataset
+
+    _write_nyu_fixture(str(tmp_path), n=4)
+    monkeypatch.setenv("MCSEG_NO_NATIVE", "1")
+    cfg = _cfg(data_root=str(tmp_path))
+    ds = NYUDv2Dataset(cfg, "train")
+    ds.decode_size = (32, 24)
+    batch = ds.get_batch([1, 2])
+    for k in batch:
+        np.testing.assert_array_equal(
+            batch[k], np.stack([ds[i][k] for i in (1, 2)]), err_msg=k)
+
+
+def test_batch_iterator_uses_get_batch_same_stream(tmp_path):
+    """batch_iterator over a file corpus (get_batch fast path, pooled and
+    serial) produces the identical stream to per-sample __getitem__ stacking."""
+    from mcseg_tpu.data.datasets import NYUDv2Dataset
+    from mcseg_tpu.data.pipeline import _stack_items
+
+    _write_nyu_fixture(str(tmp_path), n=6)
+    cfg = _cfg(data_root=str(tmp_path))
+    ds = NYUDv2Dataset(cfg, "train")
+    ds.decode_size = (32, 24)
+
+    from mcseg_tpu.data.pipeline import _index_batches
+
+    want = [
+        _stack_items([ds[int(j)] for j in idx])
+        for idx in _index_batches(len(ds), 2, True, 5, True, 1)
+    ]
+    for workers in (0, 3):
+        got = list(batch_iterator(ds, 2, seed=5, epochs=1, num_workers=workers))
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_decode_cache_hits_and_budget(tmp_path):
+    """Decoded-sample RAM cache: hits return identical arrays without decode;
+    the byte budget is respected; decode_cache_gb=0 disables caching."""
+    import dataclasses
+
+    from mcseg_tpu.data.datasets import NYUDv2Dataset
+
+    _write_nyu_fixture(str(tmp_path), n=4)
+    cfg = _cfg(data_root=str(tmp_path))
+    ds = NYUDv2Dataset(cfg, "train")
+    ds.decode_size = (32, 24)
+
+    first = {k: v.copy() for k, v in ds[1].items()}
+    assert 1 in ds._cache
+    again = ds[1]
+    for k in first:
+        np.testing.assert_array_equal(first[k], again[k])
+    # get_batch over fully-cached indices equals a fresh native decode
+    fresh = NYUDv2Dataset(cfg, "train")
+    fresh.decode_size = (32, 24)
+    _ = ds.get_batch([0, 1, 2, 3])  # populates the rest
+    cached_batch = ds.get_batch([2, 0])
+    fresh_batch = fresh.get_batch([2, 0])
+    for k in fresh_batch:
+        np.testing.assert_array_equal(cached_batch[k], fresh_batch[k])
+    assert ds._cache_bytes <= ds._cache_budget
+
+    off = NYUDv2Dataset(dataclasses.replace(cfg, decode_cache_gb=0.0), "train")
+    off.decode_size = (32, 24)
+    off[0]
+    off.get_batch([1, 2])
+    assert off._cache == {} and off._cache_bytes == 0
+
+    tiny_budget = sum(v.nbytes for v in first.values()) + 1
+    part = NYUDv2Dataset(cfg, "train")
+    part.decode_size = (32, 24)
+    part._cache_budget = tiny_budget
+    part[0]
+    part[1]  # over budget: not cached
+    assert 0 in part._cache and 1 not in part._cache
+    assert part._cache_bytes <= tiny_budget

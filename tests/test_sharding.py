@@ -153,6 +153,142 @@ def test_sharded_step_matches_single_device():
         assert e8 <= max(4 * e1, err1.max()) + 8 * floor, (i, e1, e8, err1.max())
 
 
+def _enable_x64():
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        jax.config.update("jax_enable_x64", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    return ctx()
+
+
+def _to64(t):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float64) if x.dtype == jnp.float32 else x, t
+    )
+
+
+def _assert_fp64_oracle_parity(build_step, state, inputs):
+    """Sharded-vs-single equivalence judged against a float64 oracle — the
+    methodology of test_sharded_step_matches_single_device, reusable for any
+    step. ``build_step(dtype)`` returns a jitted (state, *inputs) ->
+    (state, metrics) step with that compute dtype; same parameter values in
+    all three runs."""
+    step = build_step("float32")
+    s1, m1 = step(state, *inputs)
+
+    mesh = make_mesh()
+    state8 = replicate(mesh, state)
+    inputs8 = [jax.device_put(x, batch_sharding(mesh)) for x in inputs]
+    s8, m8 = step(state8, *inputs8)
+
+    with _enable_x64():
+        step64 = build_step("float64")
+        inputs64 = [
+            x.astype(jnp.float64) if x.dtype == jnp.float32 else x
+            for x in inputs
+        ]
+        s64, m64 = step64(_to64(state), *inputs64)
+
+        for k in m64:
+            v64 = np.asarray(m64[k], np.float64)
+            if v64.dtype.kind != "f":
+                continue
+            e1 = abs(float(m1[k]) - float(v64))
+            e8 = abs(float(m8[k]) - float(v64))
+            assert e8 <= 4 * e1 + 1e-6 * (1 + abs(float(v64))), (k, e1, e8)
+
+        leaves64 = jax.tree.leaves(s64.params)
+        leaves1 = jax.tree.leaves(s1.params)
+        leaves8 = jax.tree.leaves(s8.params)
+        assert len(leaves64) == len(leaves1) == len(leaves8)
+        err1 = np.array([
+            np.max(np.abs(np.asarray(a, np.float64) - np.asarray(o, np.float64)))
+            for o, a in zip(leaves64, leaves1)
+        ])
+        err8 = np.array([
+            np.max(np.abs(np.asarray(b, np.float64) - np.asarray(o, np.float64)))
+            for o, b in zip(leaves64, leaves8)
+        ])
+        assert err8.max() <= 4 * err1.max() + 1e-6, (err1.max(), err8.max())
+        for i, (o, e1, e8) in enumerate(zip(leaves64, err1, err8)):
+            floor = 1.2e-7 * (1.0 + np.max(np.abs(np.asarray(o, np.float64))))
+            assert e8 <= max(4 * e1, err1.max()) + 8 * floor, (
+                i, e1, e8, err1.max())
+
+
+@pytest.mark.slow
+def test_sharded_mcd_step_matches_single_device():
+    """The fp64-oracle sharded parity for the FLAGSHIP path: the fused MCD
+    A/B/C step on the 8-device mesh (VERDICT r1 #4 — previously only the
+    source step had this; MCD was smoke-checked)."""
+    from mcseg_tpu.train.mcd import make_mcd_step
+
+    tcfg = TrainConfig(lr=0.01, num_k=2, lr_schedule="constant", max_steps=100)
+    state, _, _ = create_train_state(
+        ModelConfig(net="drn_d_22", input_ch=3, n_class=NCLASS, dtype="float32"),
+        tcfg, jax.random.key(0), img_shape=HW,
+    )
+
+    def build_step(dtype):
+        mcfg = ModelConfig(net="drn_d_22", input_ch=3, n_class=NCLASS, dtype=dtype)
+        _, tx_g, tx_f = create_train_state(
+            ModelConfig(net="drn_d_22", input_ch=3, n_class=NCLASS,
+                        dtype="float32"),
+            tcfg, jax.random.key(0), img_shape=HW,
+        )
+        g, f1, f2 = get_models(mcfg)
+        return jax.jit(make_mcd_step(g, f1, f2, tx_g, tx_f, tcfg))
+
+    rng = np.random.RandomState(0)
+    xs = jnp.asarray(rng.rand(8, *HW, 3).astype(np.float32))
+    ys = jnp.asarray(rng.randint(0, NCLASS, size=(8, *HW)))
+    xt = jnp.asarray(rng.rand(8, *HW, 3).astype(np.float32))
+    _assert_fp64_oracle_parity(build_step, state, [xs, ys, xt])
+
+
+@pytest.mark.slow
+def test_sharded_multitask_mcd_step_matches_single_device():
+    """Same oracle methodology for the multitask MCD step (seg + berHu depth
+    in step A)."""
+    from mcseg_tpu.train.multitask import (
+        init_multitask_state,
+        make_multitask_mcd_step,
+    )
+
+    tcfg = TrainConfig(lr=0.01, num_k=1, lr_schedule="constant", max_steps=100)
+    mcfg32 = ModelConfig(net="drn_d_22", input_ch=3, n_class=NCLASS,
+                         dtype="float32")
+    state, _, _, _ = init_multitask_state(mcfg32, tcfg, jax.random.key(0),
+                                          img_shape=HW)
+
+    def build_step(dtype):
+        from mcseg_tpu.models.heads import DepthRegressor
+
+        mcfg = ModelConfig(net="drn_d_22", input_ch=3, n_class=NCLASS, dtype=dtype)
+        _, tx_g, tx_f, _ = init_multitask_state(
+            mcfg32, tcfg, jax.random.key(0), img_shape=HW)
+        g, f1, f2 = get_models(mcfg)
+        # the oracle must run the depth head in fp64 too
+        d_head = DepthRegressor(
+            upsample=mcfg.upsample,
+            dtype=jnp.float64 if dtype == "float64" else jnp.float32)
+        return jax.jit(make_multitask_mcd_step(
+            g, f1, f2, d_head, tx_g, tx_f, tcfg, depth_weight=0.5))
+
+    rng = np.random.RandomState(1)
+    xs = jnp.asarray(rng.rand(8, *HW, 3).astype(np.float32))
+    ys = jnp.asarray(rng.randint(0, NCLASS, size=(8, *HW)))
+    ds = jnp.asarray((rng.rand(8, *HW) * 3 + 0.5).astype(np.float32))
+    xt = jnp.asarray(rng.rand(8, *HW, 3).astype(np.float32))
+    _assert_fp64_oracle_parity(build_step, state, [xs, ys, ds, xt])
+
+
 def test_sharded_step_keeps_params_replicated():
     state, step, img, label = _setup()
     mesh = make_mesh()
