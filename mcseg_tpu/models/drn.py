@@ -272,15 +272,27 @@ class DRN(nn.Module):
             xp = stage(
                 ch[0], stride=1, in_pack=(2, 4), out_pack=(2, 4),
                 dtype=self.dtype, name="layer1", **bn_kw, **kw1)(xp, train)
+            # Level 3 runs packed too when its block is a BasicBlock (all
+            # drn_d_22/38 and arch-C variants): round-2 profiling showed the
+            # unpacked 64-channel layer3 convs at ~28% MXU (64-deep
+            # contraction uses half the 128-wide array) — ~100 ms/step of
+            # the 640x480 MCD step including the unpack-boundary copies.
+            # Packs: layer2 out (2,2) -> 128ch, layer3 out (1,2) -> 128ch,
+            # unpack after. Round 1's attempt carried (1,2) (64ch) through
+            # layer3 and lost; the (2,2) geometry keeps the contraction
+            # 128-deep. Bottleneck trunks (d_54/105) keep the old boundary.
+            pack3 = self.block is BasicBlock
             xp = stage(
-                ch[1], stride=2, in_pack=(2, 4), out_pack=(1, 2),
+                ch[1], stride=2, in_pack=(2, 4),
+                out_pack=(2, 2) if pack3 else (1, 2),
                 dtype=self.dtype, name="layer2", **bn_kw, **kw2)(xp, train)
-            # Unpack here: carrying the (1,2) pack through level 3 was
-            # measured SLOWER on v5e (55.0 vs 56.2 img/s/chip at 640x480) —
-            # the packed 3x3 convs' extra FLOPs outweigh the doubled MXU
-            # contraction depth once channels reach 64. PackedResStage
-            # supports it if a future geometry disagrees.
+            if pack3:
+                xp = _s2d.PackedResStage(
+                    ch[2], n_blocks=L[2], stride=2, in_pack=(2, 2),
+                    out_pack=(1, 2), dtype=self.dtype, name="layer3",
+                    **bn_kw)(xp, train)
             x = _s2d.depth_to_space(xp, 1, 2)
+            layer3_done = pack3
         else:
             # level 0: 7x7 stem
             x = _conv(ch[0], 7, 1, dtype=self.dtype, name="conv0")(x)
@@ -293,8 +305,10 @@ class DRN(nn.Module):
             else:  # arch D
                 x = ConvStage(ch[0], L[0], stride=1, dtype=self.dtype, name="layer1")(x, train)
                 x = ConvStage(ch[1], L[1], stride=2, dtype=self.dtype, name="layer2")(x, train)
+            layer3_done = False
         # levels 3-4: strided residual (both paths)
-        x = ResStage(self.block, ch[2], L[2], stride=2, dtype=self.dtype, name="layer3")(x, train)
+        if not layer3_done:
+            x = ResStage(self.block, ch[2], L[2], stride=2, dtype=self.dtype, name="layer3")(x, train)
         x = ResStage(self.block, ch[3], L[3], stride=2, dtype=self.dtype, name="layer4")(x, train)
         # levels 5-6: dilation instead of stride
         x = ResStage(self.block, ch[4], L[4], dilation=2, new_level=False, dtype=self.dtype, name="layer5")(x, train)

@@ -91,28 +91,31 @@ def _tap_map_1d(k: int, stride: int, pad: int, pi: int, po: int):
 
 @functools.lru_cache(maxsize=None)
 def _pack_plan(
-    kh: int, kw: int, ci: int, co: int,
+    kh: int, kw: int,
     stride: Tuple[int, int], pad: Tuple[int, int],
     in_pack: Tuple[int, int], out_pack: Tuple[int, int],
 ):
-    """Constant gather plan: packed kernel = w.flat[idx] * mask."""
+    """Constant selector plan: a one-hot S[kp_taps, pi, po, kh*kw] with
+    S[t, ai, ao, u] = 1 iff original tap u feeds packed tap t at input
+    phase ai / output phase ao (at most ONE u per (t, ai, ao)).
+
+    The packed kernel is then the einsum S . w — a tiny vectorized matmul.
+    (The previous formulation gathered w.flat[idx], which XLA:TPU lowers to
+    a ~1.4 ms serial loop PER KERNEL PER WEIGHT VERSION — with layer3 packed
+    that was ~70 ms/step of pure gather; the einsum is ~microseconds and has
+    an equally cheap transpose-einsum VJP for the weight gradient.)
+    """
     pih, piw = in_pack
     poh, pow_ = out_pack
     kph, pph, sph, ents_h = _tap_map_1d(kh, stride[0], pad[0], pih, poh)
     kpw, ppw, spw, ents_w = _tap_map_1d(kw, stride[1], pad[1], piw, pow_)
-    idx = np.zeros((kph, kpw, pih * piw * ci, poh * pow_ * co), np.int32)
-    mask = np.zeros(idx.shape, bool)
+    sel = np.zeros((kph * kpw, pih * piw, poh * pow_, kh * kw), np.float32)
     for th, aih, aoh, uh in ents_h:
         for tw, aiw, aow, uw in ents_w:
             # packed channel layout must match space_to_depth: (a_h, a_w, c)
-            ci_lo = (aih * piw + aiw) * ci
-            co_lo = (aoh * pow_ + aow) * co
-            # flat index into w[kh,kw,ci,co]
-            base = (uh * kw + uw) * ci * co
-            block = base + np.arange(ci)[:, None] * co + np.arange(co)[None, :]
-            idx[th, tw, ci_lo:ci_lo + ci, co_lo:co_lo + co] = block
-            mask[th, tw, ci_lo:ci_lo + ci, co_lo:co_lo + co] = True
-    return idx, mask, (sph, spw), (pph, ppw)
+            sel[th * kpw + tw, aih * piw + aiw, aoh * pow_ + aow,
+                uh * kw + uw] = 1.0
+    return sel, (kph, kpw), (sph, spw), (pph, ppw)
 
 
 def pack_conv_kernel(
@@ -128,9 +131,18 @@ def pack_conv_kernel(
     computed from the actual input/output sizes (see packed_conv).
     """
     kh, kw, ci, co = w.shape
-    idx, mask, sp, pp = _pack_plan(
-        kh, kw, ci, co, tuple(stride), tuple(pad), tuple(in_pack), tuple(out_pack))
-    wp = w.reshape(-1)[jnp.asarray(idx)] * jnp.asarray(mask, w.dtype)
+    sel, (kph, kpw), sp, pp = _pack_plan(
+        kh, kw, tuple(stride), tuple(pad), tuple(in_pack), tuple(out_pack))
+    pi, po = sel.shape[1], sel.shape[2]
+    # one-hot selection: each (t, ai, ao) row has at most one 1, so the
+    # einsum is EXACT (a copy-or-zero, not an accumulation)
+    wp = jnp.einsum(
+        "tpqu,ucd->tpcqd",
+        jnp.asarray(sel, w.dtype),
+        w.reshape(kh * kw, ci, co),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    wp = wp.reshape(kph, kpw, pi * ci, po * co)
     return wp, sp, pp
 
 
