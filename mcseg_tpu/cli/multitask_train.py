@@ -21,7 +21,13 @@ def main(argv=None):
     cfg = args_to_config(args, adapt=not args.source_only)
     mkdir_if_not_exist(cfg.train.out_dir)
     save_dic_to_json(cfg.to_dict(), f"{cfg.train.out_dir}/args.json")
-    train_multitask(cfg, depth_weight=args.depth_weight, adapt=not args.source_only)
+    from mcseg_tpu.cli._epoch_eval import make_epoch_eval_hook
+    from mcseg_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    hook = make_epoch_eval_hook(cfg, mesh, args.eval_every_epochs)
+    train_multitask(cfg, mesh=mesh, depth_weight=args.depth_weight,
+                    adapt=not args.source_only, on_epoch_end=hook)
 
 
 if __name__ == "__main__":

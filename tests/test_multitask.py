@@ -203,3 +203,20 @@ def test_depth_metrics_negative_predictions_are_failures():
     p = jnp.array([[[-1.0, 0.0], [2.0, 2.0]]])
     m = depth_metrics(p[..., None], t)
     assert float(m["delta_1.25"]) == 0.5  # only the two exact pixels
+
+
+@pytest.mark.slow
+def test_multitask_eval_every_epochs_hook(tmp_path, capsys):
+    """--eval_every_epochs on the multitask CLI: the epoch-end hook must be
+    wired (it was silently dropped once) and print val mIoU."""
+    from mcseg_tpu.cli import multitask_train
+
+    multitask_train.main([
+        "synthetic", "synthetic", "--net", "drn_d_22", "--dtype", "float32",
+        "--batch_size", "8", "--train_img_shape", "32", "32",
+        "--max_samples", "8", "--epochs", "1", "--lr", "0.02", "--num_k", "1",
+        "--lr_schedule", "constant", "--log_every", "1", "--source_only",
+        "--eval_every_epochs", "1", "--out_dir", str(tmp_path / "run"),
+    ])
+    out = capsys.readouterr().out
+    assert "val_mIoU=" in out
