@@ -6,13 +6,17 @@ MCD adaptation at 640x480 with DRN-D-38, num_k=4 — i.e. each iteration does
 adapt_trainer loop — INCLUDING the fused on-device preprocessing (label remap,
 depth->HHA encode, joint crop/flip/resize, normalize, stack).
 
-Two measurements:
+Three measurements:
   * device-only (the headline "value", comparable across rounds): raw batches
     pre-staged in HBM; isolates the compiled step.
-  * end-to-end ("end_to_end" key): feeds from real PNG files on disk through
-    the full host pipeline (native decode thread pool -> stack -> prefetch ->
-    shard), i.e. what a user's training run actually sustains. A synthetic
+  * end-to-end ("end_to_end" key): real PNG files on disk through the DEFAULT
+    production input path — DataConfig.device_corpus='auto' stages the
+    decoded corpus in HBM once and feeds steps by index (data/
+    device_corpus.py), so steady state ships ~100 bytes/step. A synthetic
     PNG corpus is generated under /tmp on first run.
+  * end-to-end, streaming host path ("end_to_end_host_wire"): the same files
+    through host decode threads -> stack -> prefetch -> shard each step —
+    what an oversized corpus (device_corpus off) sustains.
 
 images/sec/chip counts (source + target) images consumed per iteration,
 divided by the number of chips used. "mfu" reports XLA's own FLOP count for
@@ -29,11 +33,13 @@ Timing note: on this sandbox's TPU tunnel, jax.block_until_ready does NOT
 actually synchronize — only a value fetch does. Both loops therefore chain
 state through donated buffers and end by fetching a scalar metric.
 
-Sandbox ceiling on end_to_end: this host has ONE CPU core and reaches the
-TPU through a network tunnel whose H2D serialization costs host CPU
-(~17-40 MB/s measured vs ~16 GB/s real PCIe). At 81 MB/step the transfer
-alone takes ~5 s of the core, capping end_to_end at ~15% of device rate
-REGARDLESS of pipeline design. "host_pipeline_capacity" (decode+stack only)
+Sandbox ceiling on end_to_end_host_wire: this host has ONE CPU core and
+reaches the TPU through a network tunnel whose H2D serialization costs host
+CPU (~17-40 MB/s measured vs ~16 GB/s real PCIe). At 81 MB/step the transfer
+alone takes ~5 s of the core, capping the STREAMING path at ~15% of device
+rate regardless of pipeline design — which is exactly why the HBM-resident
+corpus is the default: "end_to_end" pays the tunnel once at staging and then
+ships only index vectors. "host_pipeline_capacity" (decode+stack only)
 shows what the input pipeline itself sustains at steady state (epoch >= 2:
 whole-batch native decode on epoch 1 populates the decoded-sample RAM cache,
 after which batches assemble at memory speed) — i.e. on real hardware
@@ -243,8 +249,31 @@ def main():
         if i + 1 >= steps:
             break
     float(metrics["loss_source"])
+    dt_host_wire = time.perf_counter() - t0
+    host_wire_per_chip = 2.0 * b * steps / dt_host_wire / n_chips
+    del it
+
+    # ---- end-to-end, production default: HBM-resident corpus ---------------
+    # DataConfig.device_corpus='auto' stages fitting corpora in device memory
+    # (data/device_corpus.py): PNGs are decoded ONCE at startup, steps are fed
+    # a [B] index vector, batches materialize by on-device gather. This is
+    # what a default training run sustains; the streaming host path above is
+    # kept as "end_to_end_host_wire" for oversized corpora.
+    from mcseg_tpu.data.device_corpus import corpus_stream
+
+    dc_it = corpus_stream(ZipDataset(src_ds, tgt_ds), mesh, b, seed=0)
+    s_raw, t_raw = next(dc_it)
+    state, metrics = full_step(state, s_raw, t_raw)
+    float(metrics["loss_source"])
+    t0 = time.perf_counter()
+    for i, (s_raw, t_raw) in enumerate(dc_it):
+        state, metrics = full_step(state, s_raw, t_raw)
+        if i + 1 >= steps:
+            break
+    float(metrics["loss_source"])
     dt_e2e = time.perf_counter() - t0
     e2e_per_chip = 2.0 * b * steps / dt_e2e / n_chips
+    del dc_it
 
     peak = _peak_flops(jax.devices()[0])
     mfu = (flops_per_step * steps / dt_dev / (peak * n_chips)) if peak else None
@@ -257,6 +286,7 @@ def main():
         "end_to_end_vs_baseline": round(
             e2e_per_chip / REFERENCE_PROXY_IMG_PER_SEC_PER_CHIP, 3),
         "end_to_end_frac_of_device": round(e2e_per_chip / dev_per_chip, 3),
+        "end_to_end_host_wire": round(host_wire_per_chip, 3),
         "host_pipeline_capacity": round(host_per_chip, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "flops_per_step": flops_per_step,

@@ -64,6 +64,13 @@ def _add_data_args(p: argparse.ArgumentParser) -> None:
                    help="host decode threads (DataLoader num_workers analog)")
     p.add_argument("--no_random_flip", action="store_true")
     p.add_argument("--no_random_crop", action="store_true")
+    p.add_argument("--device_corpus", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="stage the decoded corpus in device HBM and feed "
+                        "steps by index (zero steady-state H2D traffic); "
+                        "'auto' = when it fits --device_corpus_gb")
+    p.add_argument("--device_corpus_gb", type=float, default=4.0,
+                   help="per-device HBM budget for --device_corpus auto")
 
 
 def fix_img_shape_args(shape: Sequence[int]) -> tuple:
@@ -156,6 +163,8 @@ def args_to_config(args: argparse.Namespace, adapt: bool) -> ExperimentConfig:
         random_flip=not args.no_random_flip,
         random_crop=not args.no_random_crop,
         max_samples=args.max_samples,
+        device_corpus=getattr(args, "device_corpus", "auto"),
+        device_corpus_gb=getattr(args, "device_corpus_gb", 4.0),
     )
     train = TrainConfig(
         opt=args.opt,

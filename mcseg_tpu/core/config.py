@@ -89,6 +89,12 @@ class DataConfig:
     # decoded) fit entirely; oversized corpora cache a prefix and decode the
     # rest each epoch.
     decode_cache_gb: float = 4.0
+    # HBM-resident corpus (data/device_corpus.py): stage the decoded corpus
+    # on-device once and feed steps by index — zero steady-state H2D traffic.
+    # 'auto' enables it when the wire-format corpus fits device_corpus_gb
+    # per device; stream order is bit-identical to the host pipeline.
+    device_corpus: str = "auto"
+    device_corpus_gb: float = 4.0
 
     def to_dict(self):
         return _asdict(self)

@@ -1,0 +1,153 @@
+"""HBM-resident corpus: zero steady-state host->device traffic.
+
+The reference re-ships every batch from DataLoader workers over PCIe each
+iteration (SURVEY.md section 3.4). On TPU the input wire is often the
+bottleneck long before compute is (this sandbox's TPU tunnel moves ~40 MB/s;
+even real PCIe is finite), while v5e HBM is 16 GB — far larger than the raw
+uint8 corpora of every BASELINE config at NYU scale (~0.5 GB decoded for 320
+RGB-D images at 640x480). So: decode the corpus ONCE, stage it in device
+memory in the compact wire format (uint8 RGB, uint16-mm depth, target labels
+dropped), and feed each step a [B] vector of sample indices instead of the
+samples themselves. The per-step H2D transfer collapses from ~10s of MB to
+~100 bytes; batches materialize via an on-device gather and flow into the
+same fused preprocessing (ops/preprocess.py) unchanged.
+
+Determinism contract: ``corpus_stream`` reuses the host pipeline's
+``_index_batches`` (same seed, same permutation burn-in for ``--resume``), so
+the sample stream is IDENTICAL to the host path — switching ``device_corpus``
+on/off cannot change training results (tests/test_device_corpus.py asserts
+bit-equality of trained parameters).
+
+Mesh semantics: the corpus is REPLICATED on every device (per-device HBM cost
+= corpus bytes; the 'auto' budget gates on that), indices are sharded on the
+'data' axis, so each device gathers exactly its local batch shard — no
+collectives, no host involvement after staging.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcseg_tpu.data.pipeline import _index_batches, _stack, wire_format
+from mcseg_tpu.parallel.mesh import batch_sharding, replicate
+
+Corpus = Dict[str, jax.Array]
+
+
+def _per_sample_bytes(dataset, drop_label: bool) -> int:
+    """Wire-format bytes of one decoded sample (no batch dim needed:
+    wire_format only recodes dtypes)."""
+    sample = wire_format(dataset[0], drop_label=drop_label)
+    return sum(int(v.nbytes) for v in sample.values())
+
+
+def corpus_fits(dataset, budget_gb: float) -> bool:
+    """Would staging ``dataset`` (both sides, for ZipDataset) fit the
+    per-device HBM budget?"""
+    from mcseg_tpu.data.datasets import ZipDataset
+
+    n = len(dataset)
+    if isinstance(dataset, ZipDataset):
+        per = (_per_sample_bytes(dataset.source, False)
+               + _per_sample_bytes(dataset.target, True))
+    else:
+        per = _per_sample_bytes(dataset, False)
+    return n * per <= budget_gb * 1e9
+
+
+def resolve_device_corpus(cfg_data, dataset) -> bool:
+    """'on' | 'off' | 'auto' (fits the device_corpus_gb budget?) -> bool."""
+    mode = getattr(cfg_data, "device_corpus", "auto")
+    if isinstance(mode, bool):
+        return mode
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    if mode != "auto":
+        raise ValueError(
+            f"device_corpus must be 'auto'|'on'|'off' or bool, got {mode!r}")
+    try:
+        return corpus_fits(dataset, getattr(cfg_data, "device_corpus_gb", 4.0))
+    except Exception:
+        return False  # unreadable sample etc. — fall back to the host path
+
+
+def stage_corpus(dataset, mesh, drop_label: bool = False,
+                 n: Optional[int] = None, chunk: int = 32) -> Corpus:
+    """Decode ``dataset[:n]`` and place it on every mesh device, replicated,
+    in wire format. Decoding goes through the dataset's whole-batch native
+    fast path when available; host RAM stays bounded by preallocating the
+    final [N, ...] arrays and filling them chunkwise."""
+    n = len(dataset) if n is None else n
+    batched = getattr(dataset, "get_batch", None)
+    out_np: Dict[str, np.ndarray] = {}
+    for lo in range(0, n, chunk):
+        idx = np.arange(lo, min(lo + chunk, n))
+        if batched is not None:
+            b = batched(idx)
+        else:
+            b = _stack([dataset[int(j)] for j in idx])
+        b = wire_format(b, drop_label=drop_label)
+        if not out_np:
+            out_np = {k: np.empty((n,) + v.shape[1:], v.dtype)
+                      for k, v in b.items()}
+        for k, v in b.items():
+            out_np[k][lo : lo + len(idx)] = v
+    return replicate(mesh, out_np)
+
+
+def _make_gather(mesh):
+    sh = batch_sharding(mesh)
+
+    @jax.jit
+    def gather(corpus, idx):
+        batch = jax.tree.map(lambda v: jnp.take(v, idx, axis=0), corpus)
+        return jax.tree.map(lambda v: jax.lax.with_sharding_constraint(v, sh),
+                            batch)
+
+    return gather
+
+
+def corpus_stream(
+    dataset,
+    mesh,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+    epochs: Optional[int] = None,
+    start_epoch: int = 0,
+) -> Iterator[Union[Corpus, Tuple[Corpus, Corpus]]]:
+    """Device-corpus replacement for
+    ``device_prefetch(batch_iterator(...), mesh)``: yields the same sharded
+    device batches (tuples for ZipDataset), assembled by on-device gather.
+
+    Per step the host only builds a [B] int32 index vector; the gather and
+    everything after it is async device work, so this needs no prefetch
+    thread — dispatch itself is the pipeline.
+    """
+    from mcseg_tpu.data.datasets import ZipDataset
+
+    n = len(dataset)
+    if batch_size > n:
+        raise ValueError(f"batch_size {batch_size} > dataset size {n}")
+    zipped = isinstance(dataset, ZipDataset)
+    if zipped:
+        src = stage_corpus(dataset.source, mesh, drop_label=False, n=n)
+        tgt = stage_corpus(dataset.target, mesh, drop_label=True, n=n)
+    else:
+        src = stage_corpus(dataset, mesh, drop_label=False, n=n)
+    gather = _make_gather(mesh)
+    sh = batch_sharding(mesh)
+    for idx in _index_batches(n, batch_size, shuffle, seed, drop_last, epochs,
+                              start_epoch):
+        didx = jax.device_put(idx.astype(np.int32), sh)
+        if zipped:
+            yield gather(src, didx), gather(tgt, didx)
+        else:
+            yield gather(src, didx)

@@ -48,6 +48,26 @@ def _check_finite(metrics, step) -> None:
             )
 
 
+def _input_stream(dataset, mesh, cfg: ExperimentConfig, start_epoch: int):
+    """Pick the training input path: HBM-resident corpus (device_corpus.py —
+    decode once, feed steps by index, zero steady-state H2D traffic) when
+    enabled/fitting, else host decode threads + double-buffered prefetch.
+    Both produce the identical sharded batch stream for a given seed."""
+    from mcseg_tpu.data.device_corpus import corpus_stream, resolve_device_corpus
+
+    if resolve_device_corpus(cfg.data, dataset):
+        return corpus_stream(
+            dataset, mesh, cfg.data.batch_size, seed=cfg.train.seed,
+            epochs=cfg.train.epochs, start_epoch=start_epoch,
+        )
+    return device_prefetch(
+        batch_iterator(dataset, cfg.data.batch_size, seed=cfg.train.seed,
+                       epochs=cfg.train.epochs, start_epoch=start_epoch,
+                       num_workers=cfg.data.num_workers),
+        mesh,
+    )
+
+
 # Checkpoint fields that determine the parameter/optimizer tree: resuming
 # with a different value would die later with a cryptic tree mismatch, so
 # _init_or_resume checks them up front and raises a clear error instead.
@@ -123,12 +143,7 @@ def train_source(
     step0 = int(jax.device_get(state.step))
     steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
-    it = device_prefetch(
-        batch_iterator(dataset, cfg.data.batch_size, seed=cfg.train.seed,
-                       epochs=cfg.train.epochs, start_epoch=start_epoch,
-                       num_workers=cfg.data.num_workers),
-        mesh,
-    )
+    it = _input_stream(dataset, mesh, cfg, start_epoch)
     for i, raw in enumerate(it):
         if max_iterations is not None and i >= max_iterations:
             break
@@ -250,12 +265,7 @@ def train_multitask(
     step0 = int(jax.device_get(state.step))
     steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
-    it = device_prefetch(
-        batch_iterator(dataset, cfg.data.batch_size, seed=cfg.train.seed,
-                       epochs=cfg.train.epochs, start_epoch=start_epoch,
-                       num_workers=cfg.data.num_workers),
-        mesh,
-    )
+    it = _input_stream(dataset, mesh, cfg, start_epoch)
     for i, item in enumerate(it):
         if max_iterations is not None and i >= max_iterations:
             break
@@ -324,12 +334,7 @@ def train_adapt(
     step0 = int(jax.device_get(state.step))
     steps_per_epoch = max(len(zipped) // cfg.data.batch_size, 1)
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
-    it = device_prefetch(
-        batch_iterator(zipped, cfg.data.batch_size, seed=cfg.train.seed,
-                       epochs=cfg.train.epochs, start_epoch=start_epoch,
-                       num_workers=cfg.data.num_workers),
-        mesh,
-    )
+    it = _input_stream(zipped, mesh, cfg, start_epoch)
     for i, (src_raw, tgt_raw) in enumerate(it):
         if max_iterations is not None and i >= max_iterations:
             break
