@@ -185,10 +185,16 @@ class SegDataset:
 
         idx = [int(i) for i in indices]
         cache = getattr(self, "_cache", None)
-        if cache is not None and all(i in cache for i in idx):
+        # Decode ONLY the uncached subset: a shuffled epoch whose length does
+        # not divide the corpus leaves a few samples of every batch uncached,
+        # and an all-or-nothing cache check would re-decode the whole batch
+        # forever (measured: 35 vs ~700 img/s host capacity on a 64-image
+        # corpus at batch 24).
+        missing = [i for i in idx if i not in cache] if cache is not None else idx
+        if not missing:
             return _stack_samples([cache[i] for i in idx])
         file_list = getattr(self, "samples", None)  # procedural corpora: none
-        samples = [file_list[i] for i in idx] if file_list else []
+        samples = [file_list[i] for i in missing] if file_list else []
         usable = (
             bool(samples)
             and native.available()
@@ -213,12 +219,21 @@ class SegDataset:
                     [s["depth"] for s in samples], h, w)
         except IOError:
             return _stack_samples([self[i] for i in idx])
+        if len(missing) == len(idx):
+            if cache is not None:
+                for k, i in enumerate(missing):
+                    # per-sample copies, not views: a view would pin the whole
+                    # batch buffer while being accounted at slice size
+                    self._cache_put(
+                        i, {key: v[k].copy() for key, v in out.items()})
+            return out  # zero-copy: the decode buffers ARE the batch
+        decoded = {i: {key: v[k].copy() for key, v in out.items()}
+                   for k, i in enumerate(missing)}
         if cache is not None:
-            for k, i in enumerate(idx):
-                # per-sample copies, not views: a view would pin the whole
-                # batch buffer while being accounted at slice size
-                self._cache_put(i, {key: v[k].copy() for key, v in out.items()})
-        return out
+            for i, s in decoded.items():
+                self._cache_put(i, s)
+        return _stack_samples(
+            [decoded[i] if i in decoded else cache[i] for i in idx])
 
 
 def _stack_samples(samples) -> Dict[str, np.ndarray]:

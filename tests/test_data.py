@@ -309,3 +309,39 @@ def test_decode_cache_hits_and_budget(tmp_path):
     part[1]  # over budget: not cached
     assert 0 in part._cache and 1 not in part._cache
     assert part._cache_bytes <= tiny_budget
+
+
+def test_get_batch_partial_cache_decodes_only_missing(tmp_path):
+    """A batch mixing cached and uncached samples must assemble correctly AND
+    only decode the missing subset (an all-or-nothing cache check re-decoded
+    whole batches forever when epoch length didn't divide the corpus)."""
+    from mcseg_tpu import native
+    from mcseg_tpu.data.datasets import NYUDv2Dataset
+
+    _write_nyu_fixture(str(tmp_path), n=6)
+    cfg = _cfg(data_root=str(tmp_path))
+    ds = NYUDv2Dataset(cfg, "train")
+    ds.decode_size = (32, 24)
+    _ = ds.get_batch([1, 4])  # warm two samples
+    assert set(ds._cache) == {1, 4}
+
+    calls = []
+    orig = native.decode_rgb_batch
+
+    def spy(paths, h, w):
+        calls.append(list(paths))
+        return orig(paths, h, w)
+
+    native.decode_rgb_batch, _saved = spy, orig
+    try:
+        batch = ds.get_batch([4, 2, 1, 5])  # 2 cached + 2 missing
+    finally:
+        native.decode_rgb_batch = _saved
+    fresh = NYUDv2Dataset(cfg, "train")
+    fresh.decode_size = (32, 24)
+    want = fresh.get_batch([4, 2, 1, 5])
+    for k in want:
+        np.testing.assert_array_equal(batch[k], want[k], err_msg=k)
+    if native.available():  # native path: only the 2 missing were decoded
+        assert len(calls) == 1 and len(calls[0]) == 2
+        assert set(ds._cache) == {1, 2, 4, 5}
