@@ -98,6 +98,11 @@ def stage_corpus(dataset, mesh, drop_label: bool = False,
                       for k, v in b.items()}
         for k, v in b.items():
             out_np[k][lo : lo + len(idx)] = v
+    # the corpus now lives in HBM; don't keep a host-RAM duplicate in the
+    # dataset's decode cache (training never reads host samples again)
+    if getattr(dataset, "_cache", None):
+        dataset._cache.clear()
+        dataset._cache_bytes = 0
     return replicate(mesh, out_np)
 
 
