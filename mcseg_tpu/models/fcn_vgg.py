@@ -40,7 +40,11 @@ class VGG16FeatureGenerator(nn.Module):
                     param_dtype=jnp.float32, name=f"conv{si + 1}_{ci + 1}",
                 )(x)
                 x = nn.relu(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            # SAME = ceil-mode pooling: odd extents keep their last row/col
+            # (flax pads -inf, which never wins a max). At /32-divisible
+            # sizes this is identical to valid pooling; at other sizes it is
+            # what makes the skip fusion well-defined (see FCN8sClassifier).
+            x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
             feats.append(x)
         pool3, pool4, pool5 = feats[2], feats[3], feats[4]
         # conv6/conv7: FCN's convolutionalized fc layers (7x7 then 1x1).
@@ -80,6 +84,14 @@ class FCN8sClassifier(nn.Module):
         s7 = s7.astype(jnp.float32)
         s4 = s4.astype(jnp.float32)
         s3 = s3.astype(jnp.float32)
-        x = upsample_logits(s7, 2, self.upsample) + s4  # /16
-        x = upsample_logits(x, 2, self.upsample) + s3  # /8
+        # With ceil-mode pooling a 2x upsample is >= the skip's extent; crop
+        # to the skip before fusing (the reference FCN8s pads the input by
+        # 100 px and crops the same way — at /32-divisible training shapes,
+        # the BASELINE geometries, both crops are no-ops).
+        def fuse(coarse, skip):
+            up = upsample_logits(coarse, 2, self.upsample)
+            return up[:, : skip.shape[1], : skip.shape[2]] + skip
+
+        x = fuse(s7, s4)  # /16
+        x = fuse(x, s3)  # /8
         return upsample_logits(x, 8, self.upsample)  # /1

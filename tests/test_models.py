@@ -62,6 +62,22 @@ def test_fcn8s_vgg16():
     assert o.shape == (1, 32, 32, 9)
 
 
+def test_fcn8s_vgg16_non_div32_input():
+    """FCN8s at /8-but-not-/32-divisible shapes (e.g. 320x240: 240/32=7.5):
+    ceil-mode pooling + crop-to-skip keeps the fusion well-defined (it once
+    crashed with a 14-vs-15 broadcast). At /32-divisible sizes both are
+    no-ops (the golden import test pins that behavior)."""
+    cfg = ModelConfig(net="fcn8s_vgg16", input_ch=3, n_class=5, dtype="float32")
+    hw = (40, 24)  # /8 ok, /32 not (40/32=1.25)
+    variables = init_models(cfg, jax.random.key(0), img_shape=hw)
+    g, f1, _ = get_models(cfg)
+    x = jnp.ones((1, *hw, 3), jnp.float32)
+    feats = g.apply({"params": variables["params"]["G"]}, x, False)
+    o = f1.apply({"params": variables["params"]["F1"]}, feats, False)
+    assert o.shape == (1, *hw, 5)
+    assert bool(jnp.all(jnp.isfinite(o)))
+
+
 def test_all_drn_variants_buildable():
     # Construction only (no init — the 105 is big); validates the zoo table.
     for name in drn_variants():
