@@ -15,6 +15,9 @@ def main(argv=None):
     enable_persistent_cache()
     parser = get_da_mcd_training_parser()
     parser.add_argument("--depth_weight", type=float, default=0.5)
+    parser.add_argument("--boundary_weight", type=float, default=0.0,
+                        help="weight of the auxiliary boundary-detection head "
+                             "(0 disables; targets derived from source labels)")
     parser.add_argument("--source_only", action="store_true",
                         help="multitask without MCD adaptation")
     args = parser.parse_args(argv)
@@ -27,6 +30,7 @@ def main(argv=None):
     mesh = make_mesh()
     hook = make_epoch_eval_hook(cfg, mesh, args.eval_every_epochs)
     train_multitask(cfg, mesh=mesh, depth_weight=args.depth_weight,
+                    boundary_weight=args.boundary_weight,
                     adapt=not args.source_only, on_epoch_end=hook)
 
 

@@ -29,12 +29,15 @@ from mcseg_tpu.utils.util import mkdir_if_not_exist
 
 
 def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True,
-                   return_probs: bool = False, with_depth: bool = False):
+                   return_probs: bool = False, with_depth: bool = False,
+                   with_boundary: bool = False):
     """Build the jit'd (params, batch_stats, raw_batch) -> (hist, preds[, probs])
     step. ``return_probs`` adds the softmax probability maps (the reference's
     --saves_prob option, SURVEY.md section 3.3). ``with_depth`` additionally
     evaluates the multitask depth head (params['D']) against the raw depth in
-    the batch, returning valid-pixel-weighted metric sums."""
+    the batch, returning valid-pixel-weighted metric sums. ``with_boundary``
+    evaluates the boundary head (params['B']) against label-derived edges,
+    returning tp/fp/fn sums at the 0.5 threshold."""
     g, f1, f2 = get_models(cfg.model)
     pp = make_eval_preprocess(cfg.data)
     n_class = cfg.model.n_class
@@ -43,6 +46,11 @@ def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True,
         from mcseg_tpu.models.heads import DepthRegressor
 
         d_head = DepthRegressor(upsample=cfg.model.upsample)
+    b_head = None
+    if with_boundary:
+        from mcseg_tpu.models.heads import BoundaryDetector
+
+        b_head = BoundaryDetector(upsample=cfg.model.upsample)
 
     @jax.jit
     def eval_step(params, batch_stats, raw_batch):
@@ -73,6 +81,22 @@ def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True,
 
                 d_pred = upsample_matmul(d_pred, gt.shape[1], gt.shape[2], "resize")
             out.append(depth_metric_sums(d_pred, gt))
+        if b_head is not None:
+            from mcseg_tpu.losses.seg import boundary_targets_from_labels
+
+            b_logits = b_head.apply({"params": params["B"]}, feat, False)
+            if label.shape[1:3] != b_logits.shape[1:3]:
+                from mcseg_tpu.ops.upsample import upsample_matmul
+
+                b_logits = upsample_matmul(b_logits, label.shape[1],
+                                           label.shape[2], "resize")
+            tgt, valid = boundary_targets_from_labels(label)
+            hit = (b_logits[..., 0] > 0.0) & valid  # sigmoid(x)>0.5 <=> x>0
+            pos = (tgt > 0.5) & valid
+            out.append({
+                "tp": (hit & pos).sum(), "fp": (hit & ~pos).sum(),
+                "fn": (~hit & pos).sum(),
+            })
         return tuple(out)
 
     return eval_step
@@ -109,12 +133,14 @@ def evaluate(
     # Multitask checkpoints (a 'D' depth-head subtree) are depth-evaluated too,
     # when the eval corpus actually carries depth.
     with_depth = "D" in params and "depth" in dataset[0]
+    # Boundary-head checkpoints are scored against label-derived edges.
+    with_boundary = "B" in params
     # ``eval_step``: pass a prebuilt make_eval_step result to reuse its jit
     # cache across calls (the --eval_every_epochs hook evaluates every epoch;
     # a fresh closure per call would retrace each time).
     step = eval_step or make_eval_step(
         cfg, average_classifiers, return_probs=saves_prob,
-        with_depth=with_depth)
+        with_depth=with_depth, with_boundary=with_boundary)
 
     n_class = cfg.model.n_class
     # Per-batch [n,n] hists are int32 (one batch is ~1e7 pixels, far from
@@ -124,6 +150,7 @@ def evaluate(
     # stays async) and summed host-side in int64 at the end.
     batch_hists = []
     depth_sums = {"n": 0.0, "sse": 0.0, "sabs_rel": 0.0, "sdelta": 0.0}
+    boundary_sums = {"tp": 0.0, "fp": 0.0, "fn": 0.0}
     bs = min(cfg.data.batch_size, len(dataset))
     if mesh is not None:
         from mcseg_tpu.parallel.mesh import replicate, shard_batch
@@ -177,10 +204,18 @@ def evaluate(
             raw = shard_batch(mesh, raw)
         res = step(params, batch_stats, raw)
         hist, pred = res[0], res[1]
-        probs = res[2] if saves_prob else None
+        nxt = 2
+        probs = None
+        if saves_prob:
+            probs, nxt = res[nxt], nxt + 1
         if with_depth:
-            for k, v in res[-1].items():
+            for k, v in res[nxt].items():
                 depth_sums[k] += float(v)
+            nxt += 1
+        if with_boundary:
+            for k, v in res[nxt].items():
+                boundary_sums[k] += float(v)
+            nxt += 1
         batch_hists.append(hist)
         if save_dir:
             from mcseg_tpu.data.transforms import save_color_png, save_label_png
@@ -208,6 +243,15 @@ def evaluate(
         table += (
             f"\ndepth: rmse={dm['rmse']:.4f} m  abs_rel={dm['abs_rel']:.4f}"
             f"  delta<1.25={dm['delta_1.25']:.4f}"
+        )
+    if with_boundary:
+        tp, fp, fn = (boundary_sums[k] for k in ("tp", "fp", "fn"))
+        prec = tp / max(tp + fp, 1.0)
+        rec = tp / max(tp + fn, 1.0)
+        f1_score = 2 * prec * rec / max(prec + rec, 1e-9)
+        table += (
+            f"\nboundary: precision={prec:.4f}  recall={rec:.4f}"
+            f"  f1={f1_score:.4f}"
         )
     if print_table:
         print(table)

@@ -42,6 +42,68 @@ def cross_entropy_2d(
     return nll.sum() / denom.astype(jnp.float32)
 
 
+def boundary_targets_from_labels(
+    labels: jnp.ndarray,  # [B, H, W] int
+    ignore_index: int = IGNORE_INDEX,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Semantic-boundary ground truth derived on device from the label map.
+
+    A pixel is a boundary pixel iff any 4-neighbor carries a *different,
+    valid* class label (both sides of each class edge are marked). Pixels
+    with ``ignore_index`` are excluded from supervision via the returned
+    valid mask; edges against ignore regions are not boundaries (the true
+    class behind the ignore pixel is unknown).
+
+    This is the auxiliary boundary-detection target of the multitask fusion
+    variant (SURVEY.md section 2 multitask row: "seg + auxiliary
+    depth-estimation (and/or boundary) heads" [P arXiv:1812.04351]).
+    Deriving it from the label map inside the jit'd step keeps the host
+    pipeline untouched — no extra plane is decoded or shipped.
+
+    Returns (targets float32 {0,1} [B,H,W], valid bool [B,H,W]).
+    """
+    lbl = labels.astype(jnp.int32)
+    valid = labels != ignore_index
+    boundary = jnp.zeros(labels.shape, bool)
+    # vertical edges (compare row i with row i+1)
+    edge_v = (lbl[:, 1:, :] != lbl[:, :-1, :]) & valid[:, 1:, :] & valid[:, :-1, :]
+    boundary = boundary.at[:, 1:, :].set(edge_v)
+    boundary = boundary.at[:, :-1, :].max(edge_v)
+    # horizontal edges (compare col j with col j+1)
+    edge_h = (lbl[:, :, 1:] != lbl[:, :, :-1]) & valid[:, :, 1:] & valid[:, :, :-1]
+    boundary = boundary.at[:, :, 1:].max(edge_h)
+    boundary = boundary.at[:, :, :-1].max(edge_h)
+    return boundary.astype(jnp.float32), valid
+
+
+def balanced_bce_2d(
+    logits: jnp.ndarray,  # [B, H, W, 1] or [B, H, W] float
+    targets: jnp.ndarray,  # [B, H, W] float {0,1}
+    valid_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Class-balanced binary cross-entropy for boundary detection (HED-style:
+    Xie & Tu 2015). Boundary pixels are ~2-5% of an image, so plain BCE
+    collapses to all-negative; each class is reweighted by the other's
+    frequency: w_pos = n_neg/n, w_neg = n_pos/n, computed over valid pixels.
+    """
+    if logits.ndim == targets.ndim + 1:
+        logits = logits[..., 0]
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    if valid_mask is None:
+        valid_mask = jnp.ones(targets.shape, bool)
+    validf = valid_mask.astype(jnp.float32)
+    n_pos = (targets * validf).sum()
+    n = jnp.maximum(validf.sum(), 1.0)
+    beta = n_pos / n  # positive fraction
+    w = jnp.where(targets > 0.5, 1.0 - beta, beta) * validf
+    # numerically-stable BCE-with-logits: max(x,0) - x*t + log1p(exp(-|x|))
+    bce = (jnp.maximum(logits, 0.0) - logits * targets
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    denom = jnp.maximum(w.sum(), 1e-6)
+    return (w * bce).sum() / denom
+
+
 def berhu_loss(
     pred: jnp.ndarray,  # [B, H, W, 1] predicted (log-)depth
     target: jnp.ndarray,  # [B, H, W] or [B, H, W, 1]

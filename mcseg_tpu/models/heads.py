@@ -108,6 +108,32 @@ class PixelClassifier(nn.Module):
         return x.astype(jnp.float32)
 
 
+class BoundaryDetector(nn.Module):
+    """Auxiliary boundary-detection head for the multitask fusion variant
+    (SURVEY.md section 2, multitask trainer row: "(and/or boundary) heads"
+    [P arXiv:1812.04351]): 1x1 conv to 1 logit channel + upsample. Trained
+    with class-balanced BCE (losses/seg.py:balanced_bce_2d) against targets
+    derived on device from the label map (boundary_targets_from_labels)."""
+
+    up_factor: int = 8
+    upsample: str = "resize"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, train: bool = False):
+        del train
+        x = nn.Conv(
+            1,
+            kernel_size=(1, 1),
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="boundary",
+        )(feat)
+        x = upsample_logits(x, self.up_factor, self.upsample)
+        return x.astype(jnp.float32)
+
+
 class DepthRegressor(nn.Module):
     """Auxiliary depth-estimation head for the multitask fusion variant
     (SURVEY.md section 2, multitask trainer [P]): 1x1 conv to 1 channel +

@@ -183,18 +183,25 @@ def train_multitask(
     depth_weight: float = 0.5,
     adapt: bool = True,
     on_epoch_end: Optional[Callable] = None,
+    boundary_weight: float = 0.0,
 ):
-    """Multitask (seg + aux depth) training, source-only or MCD-adapted
-    (reference: multitask trainer variants, SURVEY.md section 2).
+    """Multitask (seg + aux depth [+ aux boundary]) training, source-only or
+    MCD-adapted (reference: multitask trainer variants, SURVEY.md section 2).
 
     Depth supervision (meters) rides through the SAME resize/crop/flip as the
     image and label (ops/preprocess with_depth=True), so the aux task sees
-    geometry consistent with the segmentation crop."""
+    geometry consistent with the segmentation crop. ``boundary_weight > 0``
+    adds the boundary-detection head (targets derived on device from the
+    source label map — train/multitask.py)."""
+    from mcseg_tpu.models.heads import BoundaryDetector
     from mcseg_tpu.train.multitask import (
         init_multitask_state,
         make_multitask_mcd_step,
         make_multitask_source_step,
     )
+
+    b_head = (BoundaryDetector(upsample=cfg.model.upsample)
+              if boundary_weight > 0 else None)
 
     mesh = mesh or make_mesh()
     out_dir = mkdir_if_not_exist(cfg.train.out_dir)
@@ -209,7 +216,7 @@ def train_multitask(
         # needed, the parameters come from the checkpoint
         _, tx_g, tx_f, d_head = init_multitask_state(
             cfg.model, cfg.train, jax.random.key(cfg.train.seed),
-            img_shape=(16, 16),
+            img_shape=(16, 16), with_boundary=b_head is not None,
         )
         state, ckpt_cfg = load_checkpoint(cfg.train.resume)
         _check_resume_config(cfg, ckpt_cfg, cfg.train.resume)
@@ -218,10 +225,17 @@ def train_multitask(
                 f"--resume {cfg.train.resume!r} is not a multitask checkpoint "
                 "(no 'D' depth-head subtree)"
             )
+        if (b_head is not None) != ("B" in state.params):
+            raise ValueError(
+                f"--resume {cfg.train.resume!r}: boundary-head mismatch — "
+                f"checkpoint {'has' if 'B' in state.params else 'lacks'} a 'B' "
+                f"subtree but --boundary_weight is "
+                f"{'set' if b_head is not None else 'unset'}"
+            )
     else:
         state, tx_g, tx_f, d_head = init_multitask_state(
             cfg.model, cfg.train, jax.random.key(cfg.train.seed),
-            img_shape=(th, tw),
+            img_shape=(th, tw), with_boundary=b_head is not None,
         )
     state = replicate(mesh, state)
     g, f1, f2 = get_models(cfg.model)
@@ -237,7 +251,8 @@ def train_multitask(
         _, tgt_remap, _, _ = get_label_spec(cfg.data.tgt_dataset)
         tgt_remap = jnp.asarray(tgt_remap)
         inner = make_multitask_mcd_step(
-            g, f1, f2, d_head, tx_g, tx_f, cfg.train, depth_weight
+            g, f1, f2, d_head, tx_g, tx_f, cfg.train, depth_weight,
+            b_head=b_head, boundary_weight=boundary_weight,
         )
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -251,7 +266,8 @@ def train_multitask(
     else:
         dataset = get_dataset(cfg.data.src_dataset, cfg.data, cfg.data.split)
         inner = make_multitask_source_step(
-            g, f1, f2, d_head, tx_g, tx_f, cfg.train, depth_weight
+            g, f1, f2, d_head, tx_g, tx_f, cfg.train, depth_weight,
+            b_head=b_head, boundary_weight=boundary_weight,
         )
 
         @functools.partial(jax.jit, donate_argnums=(0,))

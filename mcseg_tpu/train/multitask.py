@@ -1,16 +1,20 @@
-"""Multitask trainer step: segmentation + auxiliary depth estimation.
+"""Multitask trainer step: segmentation + auxiliary depth estimation
+(+ optional auxiliary boundary detection).
 
 The reference's third fusion mode (SURVEY.md section 2 'multitask trainer
 [?]', paper arXiv:1812.04351 [P]): the generator G is shared between the
-segmentation classifier(s) and an auxiliary depth-regression head; predicting
-depth from RGB regularizes G's features for the RGB+D domain. Loss =
-CE(seg) + lambda * berHu(depth). Implemented both source-only and as an MCD
-variant (the discrepancy game unchanged; the depth head trains in step A).
+segmentation classifier(s) and auxiliary heads — a depth-regression head
+(predicting depth from RGB regularizes G's features for the RGB+D domain)
+and, per the survey's "(and/or boundary)" recall, an optional
+boundary-detection head. Loss = CE(seg) + w_d * berHu(depth)
+[+ w_b * balancedBCE(boundary)]. Implemented both source-only and as an MCD
+variant (the discrepancy game unchanged; aux heads train in step A).
+Boundary targets are derived on device from the source label map
+(losses/seg.py:boundary_targets_from_labels) — no extra input plane.
 
-State layout reuses MCDTrainState with the depth head's params living under
-params['F2'] when method='multitask_source' is trained single-head — instead,
-to keep checkpoints honest, the depth head gets its own subtree 'D' carried in
-params; opt_f covers {F1, F2, D}.
+To keep checkpoints honest the depth head gets its own subtree 'D' (and the
+boundary head 'B' when enabled) carried in params; opt_f covers
+{F1, F2, D[, B]}.
 """
 
 from __future__ import annotations
@@ -23,12 +27,22 @@ import optax
 
 from mcseg_tpu.core.config import ModelConfig, TrainConfig
 from mcseg_tpu.losses.discrepancy import get_prob_distance_criterion
-from mcseg_tpu.losses.seg import berhu_loss, cross_entropy_2d
+from mcseg_tpu.losses.seg import (
+    balanced_bce_2d,
+    berhu_loss,
+    boundary_targets_from_labels,
+    cross_entropy_2d,
+)
 from mcseg_tpu.models.factory import get_models, init_models
-from mcseg_tpu.models.heads import DepthRegressor
+from mcseg_tpu.models.heads import BoundaryDetector, DepthRegressor
 from mcseg_tpu.train.apply import apply_classifier, apply_generator
 from mcseg_tpu.train.optim import get_optimizer, make_lr_schedule, set_lr
 from mcseg_tpu.train.state import MCDTrainState
+
+
+def aux_param_keys(params) -> Tuple[str, ...]:
+    """The classifier-side subtrees opt_f covers, in checkpoint order."""
+    return tuple(k for k in ("F1", "F2", "D", "B") if k in params)
 
 
 def init_multitask_state(
@@ -36,9 +50,11 @@ def init_multitask_state(
     train_cfg: TrainConfig,
     rng: jax.Array,
     img_shape: Tuple[int, int] = (64, 64),
+    with_boundary: bool = False,
 ):
-    """Like create_train_state but with a depth head 'D' in the param tree."""
-    k_init, k_d, k_state = jax.random.split(rng, 3)
+    """Like create_train_state but with a depth head 'D' (and optionally a
+    boundary head 'B') in the param tree."""
+    k_init, k_d, k_b, k_state = jax.random.split(rng, 4)
     variables = init_models(model_cfg, k_init, img_shape=img_shape)
     g, _, _ = get_models(model_cfg)
     d_head = DepthRegressor(upsample=model_cfg.upsample)
@@ -51,6 +67,9 @@ def init_multitask_state(
 
     params = dict(variables["params"])
     params["D"] = dv["params"]
+    if with_boundary:
+        b_head = BoundaryDetector(upsample=model_cfg.upsample)
+        params["B"] = b_head.init({"params": k_b}, feat, False)["params"]
     tx_g = get_optimizer(train_cfg.opt, train_cfg.lr, train_cfg.momentum,
                          train_cfg.weight_decay)
     tx_f = get_optimizer(train_cfg.opt, train_cfg.lr, train_cfg.momentum,
@@ -60,21 +79,41 @@ def init_multitask_state(
         params=params,
         batch_stats=variables["batch_stats"],
         opt_g=tx_g.init(params["G"]),
-        opt_f=tx_f.init({"F1": params["F1"], "F2": params["F2"], "D": params["D"]}),
+        opt_f=tx_f.init({k: params[k] for k in aux_param_keys(params)}),
         rng=k_state,
     )
     return state, tx_g, tx_f, d_head
 
 
+def _aux_losses(params, feat, label, depth, d_head, b_head,
+                depth_weight, boundary_weight):
+    """Auxiliary-head losses on a supervised (source) batch: berHu depth
+    regression, plus class-balanced BCE boundary detection when a boundary
+    head is present (targets derived on device from the label map)."""
+    d_pred = d_head.apply({"params": params["D"]}, feat, True)
+    dep = berhu_loss(d_pred, depth)
+    total = depth_weight * dep
+    bnd = jnp.zeros((), jnp.float32)
+    if b_head is not None:
+        b_logits = b_head.apply({"params": params["B"]}, feat, True)
+        b_tgt, b_valid = boundary_targets_from_labels(label)
+        bnd = balanced_bce_2d(b_logits, b_tgt, b_valid)
+        total = total + boundary_weight * bnd
+    return total, dep, bnd
+
+
 def make_multitask_source_step(
-    g, f1, f2, d_head, tx_g, tx_f, cfg: TrainConfig, depth_weight: float = 0.5
+    g, f1, f2, d_head, tx_g, tx_f, cfg: TrainConfig, depth_weight: float = 0.5,
+    b_head=None, boundary_weight: float = 0.0,
 ) -> Callable:
-    """Supervised multitask step: CE(F1) + CE(F2) + w * berHu(depth)."""
+    """Supervised multitask step: CE(F1) + CE(F2) + w_d * berHu(depth)
+    [+ w_b * balancedBCE(boundary)]."""
     lr_fn = make_lr_schedule(cfg.lr_schedule, cfg.lr, cfg.max_steps, cfg.lr_power)
 
     def step(state: MCDTrainState, img, label, depth):
         rng, drop_rng = jax.random.split(state.rng)
         lr = lr_fn(state.step)
+        keys = aux_param_keys(state.params)
 
         def loss_fn(params):
             feat, new_sg = apply_generator(
@@ -82,20 +121,20 @@ def make_multitask_source_step(
             )
             o1 = apply_classifier(f1, params["F1"], feat, True)
             o2 = apply_classifier(f2, params["F2"], feat, True)
-            d_pred = d_head.apply({"params": params["D"]}, feat, True)
             seg = cross_entropy_2d(o1, label) + cross_entropy_2d(o2, label)
-            dep = berhu_loss(d_pred, depth)
-            return seg + depth_weight * dep, (new_sg, seg, dep)
+            aux, dep, bnd = _aux_losses(params, feat, label, depth, d_head,
+                                        b_head, depth_weight, boundary_weight)
+            return seg + aux, (new_sg, seg, dep, bnd)
 
-        (loss, (new_sg, seg, dep)), grads = jax.value_and_grad(
+        (loss, (new_sg, seg, dep, bnd)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
 
         opt_g = set_lr(state.opt_g, lr)
         opt_f = set_lr(state.opt_f, lr)
         up_g, opt_g = tx_g.update(grads["G"], opt_g, state.params["G"])
-        pf = {k: state.params[k] for k in ("F1", "F2", "D")}
-        gf = {k: grads[k] for k in ("F1", "F2", "D")}
+        pf = {k: state.params[k] for k in keys}
+        gf = {k: grads[k] for k in keys}
         up_f, opt_f = tx_f.update(gf, opt_f, pf)
         new_pg = optax.apply_updates(state.params["G"], up_g)
         new_pf = optax.apply_updates(pf, up_f)
@@ -108,18 +147,22 @@ def make_multitask_source_step(
             opt_f=opt_f,
             rng=rng,
         )
-        return new_state, {"loss": loss, "loss_seg": seg, "loss_depth": dep, "lr": lr}
+        metrics = {"loss": loss, "loss_seg": seg, "loss_depth": dep, "lr": lr}
+        if b_head is not None:
+            metrics["loss_boundary"] = bnd
+        return new_state, metrics
 
     return step
 
 
 def make_multitask_mcd_step(
-    g, f1, f2, d_head, tx_g, tx_f, cfg: TrainConfig, depth_weight: float = 0.5
+    g, f1, f2, d_head, tx_g, tx_f, cfg: TrainConfig, depth_weight: float = 0.5,
+    b_head=None, boundary_weight: float = 0.0,
 ) -> Callable:
-    """MCD A/B/C with the depth task folded into step A (source supervision).
+    """MCD A/B/C with the aux tasks folded into step A (source supervision).
 
-    Steps B/C are the plain discrepancy game — depth supervision exists only
-    on the source domain, so only step A touches the depth head.
+    Steps B/C are the plain discrepancy game — depth/boundary supervision
+    exists only on the source domain, so only step A touches the aux heads.
     """
     disc = get_prob_distance_criterion(cfg.d_loss)
     lr_fn = make_lr_schedule(cfg.lr_schedule, cfg.lr, cfg.max_steps, cfg.lr_power)
@@ -129,26 +172,28 @@ def make_multitask_mcd_step(
         lr = lr_fn(state.step)
         opt_g = set_lr(state.opt_g, lr)
         opt_f = set_lr(state.opt_f, lr)
+        keys = aux_param_keys(state.params)
 
-        # STEP A + depth
+        # STEP A + aux tasks
         def loss_a(params):
             feat, new_sg = apply_generator(
                 g, params["G"], state.batch_stats["G"], src_img, True, ka
             )
             o1 = apply_classifier(f1, params["F1"], feat, True)
             o2 = apply_classifier(f2, params["F2"], feat, True)
-            d_pred = d_head.apply({"params": params["D"]}, feat, True)
             seg = cross_entropy_2d(o1, src_label) + cross_entropy_2d(o2, src_label)
-            dep = berhu_loss(d_pred, src_depth)
-            return seg + depth_weight * dep, (new_sg, seg, dep)
+            aux, dep, bnd = _aux_losses(params, feat, src_label, src_depth,
+                                        d_head, b_head, depth_weight,
+                                        boundary_weight)
+            return seg + aux, (new_sg, seg, dep, bnd)
 
-        (l_a, (sg, seg_a, dep_a)), grads = jax.value_and_grad(
+        (l_a, (sg, seg_a, dep_a, bnd_a)), grads = jax.value_and_grad(
             loss_a, has_aux=True
         )(state.params)
         up_g, opt_g = tx_g.update(grads["G"], opt_g, state.params["G"])
         pg = optax.apply_updates(state.params["G"], up_g)
-        pf = {k: state.params[k] for k in ("F1", "F2", "D")}
-        gf = {k: grads[k] for k in ("F1", "F2", "D")}
+        pf = {k: state.params[k] for k in keys}
+        gf = {k: grads[k] for k in keys}
         up_f, opt_f = tx_f.update(gf, opt_f, pf)
         pf = optax.apply_updates(pf, up_f)
 
@@ -202,6 +247,8 @@ def make_multitask_mcd_step(
             "loss_source": l_a, "loss_seg": seg_a, "loss_depth": dep_a,
             "loss_b": l_b, "loss_dis": l_cs[-1], "lr": lr,
         }
+        if b_head is not None:
+            metrics["loss_boundary"] = bnd_a
         return new_state, metrics
 
     return step

@@ -71,7 +71,8 @@ def load_checkpoint(
         from mcseg_tpu.train.multitask import init_multitask_state
 
         skeleton, _, _, _ = init_multitask_state(
-            config.model, config.train, jax.random.key(0), img_shape=(16, 16)
+            config.model, config.train, jax.random.key(0), img_shape=(16, 16),
+            with_boundary="B" in raw["params"],
         )
     else:
         skeleton, _, _ = create_train_state(

@@ -220,3 +220,121 @@ def test_multitask_eval_every_epochs_hook(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "val_mIoU=" in out
+
+
+# ---------------------------------------------------------------------------
+# Auxiliary boundary-detection head (SURVEY.md section 2 multitask row:
+# "seg + auxiliary depth-estimation (and/or boundary) heads")
+# ---------------------------------------------------------------------------
+
+
+def test_boundary_targets_from_labels():
+    from mcseg_tpu.losses.seg import boundary_targets_from_labels
+
+    # two vertical half-planes of classes 0|1, with one ignore pixel
+    lbl = np.zeros((1, 4, 6), np.int32)
+    lbl[:, :, 3:] = 1
+    lbl[0, 0, 0] = 255
+    tgt, valid = jax.jit(boundary_targets_from_labels)(jnp.asarray(lbl))
+    tgt, valid = np.asarray(tgt), np.asarray(valid)
+    # both sides of the class edge (cols 2 and 3) are boundary
+    expected = np.zeros((1, 4, 6), np.float32)
+    expected[:, :, 2:4] = 1.0
+    expected[0, 0, 0] = 0.0  # ignore pixel is never a positive
+    np.testing.assert_array_equal(tgt, expected)
+    assert not valid[0, 0, 0] and valid[0, 1, 0]
+    # edges *against* ignore pixels are not boundaries: the neighbor of the
+    # ignore pixel stays negative even though labels "differ"
+    assert tgt[0, 0, 1] == 0.0 and tgt[0, 1, 0] == 0.0
+
+
+def test_balanced_bce_2d():
+    from mcseg_tpu.losses.seg import balanced_bce_2d
+
+    tgt = np.zeros((1, 8, 8), np.float32)
+    tgt[0, 4, :] = 1.0  # 8 of 64 pixels positive
+    t = jnp.asarray(tgt)
+    # near-perfect logits -> small loss
+    good = jnp.where(t > 0.5, 10.0, -10.0)[..., None]
+    assert float(balanced_bce_2d(good, t)) < 1e-3
+    # all-negative prediction: class balancing must keep the missed positives
+    # visible (plain BCE would average them away at 12.5% frequency)
+    lazy = jnp.full((1, 8, 8, 1), -10.0)
+    assert float(balanced_bce_2d(lazy, t)) > 1.0
+    # invalid pixels are excluded: making ONLY the positives invalid leaves a
+    # perfectly-predicted negative field -> tiny loss
+    valid = jnp.asarray(t < 0.5)
+    assert float(balanced_bce_2d(lazy, t, valid)) < 1e-3
+
+
+def _setup_boundary(num_k=1):
+    mcfg = ModelConfig(net="drn_d_22", input_ch=3, n_class=NCLASS, dtype="float32")
+    tcfg = TrainConfig(lr=0.05, num_k=num_k, lr_schedule="constant", max_steps=100)
+    state, tx_g, tx_f, d_head = init_multitask_state(
+        mcfg, tcfg, jax.random.key(0), img_shape=HW, with_boundary=True
+    )
+    from mcseg_tpu.models.heads import BoundaryDetector
+
+    b_head = BoundaryDetector(upsample=mcfg.upsample)
+    g, f1, f2 = get_models(mcfg)
+    return mcfg, tcfg, state, tx_g, tx_f, g, f1, f2, d_head, b_head
+
+
+def test_multitask_boundary_source_step_decreases_loss():
+    _, tcfg, state, tx_g, tx_f, g, f1, f2, d_head, b_head = _setup_boundary()
+    assert "B" in state.params
+    step = jax.jit(make_multitask_source_step(
+        g, f1, f2, d_head, tx_g, tx_f, tcfg,
+        b_head=b_head, boundary_weight=1.0))
+    img, label, depth = _batch()
+    losses, blosses = [], []
+    for _ in range(8):
+        state, m = step(state, img, label, depth)
+        losses.append(float(m["loss"]))
+        blosses.append(float(m["loss_boundary"]))
+        assert np.isfinite(m["loss_boundary"])
+    assert losses[-1] < losses[0], losses
+    assert blosses[-1] < blosses[0], blosses
+
+
+def test_multitask_boundary_mcd_step_updates_b_in_step_a_only():
+    _, tcfg, state, tx_g, tx_f, g, f1, f2, d_head, b_head = _setup_boundary(num_k=2)
+    step = jax.jit(make_multitask_mcd_step(
+        g, f1, f2, d_head, tx_g, tx_f, tcfg,
+        b_head=b_head, boundary_weight=1.0))
+    xs, ys, ds = _batch(0)
+    xt, _, _ = _batch(1)
+    b0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.params["B"])
+    state, m = step(state, xs, ys, ds, xt)
+    assert np.isfinite(float(m["loss_boundary"]))
+    changed = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(b0), jax.tree.leaves(state.params["B"]))
+    )
+    assert changed
+
+
+def test_boundary_checkpoint_roundtrip_and_eval(tmp_path):
+    """'B' subtree survives the checkpoint round-trip (auto-detected skeleton)
+    and the tester reports boundary precision/recall/F1 for such checkpoints."""
+    from mcseg_tpu.core.config import DataConfig, ExperimentConfig
+    from mcseg_tpu.data.datasets import SyntheticDataset
+    from mcseg_tpu.eval.tester import evaluate
+    from mcseg_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    mcfg, tcfg, state, *_ = _setup_boundary()
+    dcfg = DataConfig(src_dataset="synthetic", tgt_dataset="synthetic",
+                      batch_size=4, train_img_shape=(16, 16),
+                      test_img_shape=(16, 16), input_ch=3, n_class=NCLASS,
+                      max_samples=4, num_workers=1)
+    cfg = ExperimentConfig(model=mcfg, data=dcfg, train=tcfg)
+    save_checkpoint(str(tmp_path / "ck"), state, cfg)
+    restored, _ = load_checkpoint(str(tmp_path / "ck"))
+    assert "B" in restored.params
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params["B"])[0]),
+        np.asarray(jax.tree.leaves(state.params["B"])[0]),
+    )
+    ds = SyntheticDataset(dcfg, "val")
+    _, _, table = evaluate(restored, cfg, ds, print_table=False, max_batches=1)
+    assert "boundary: precision=" in table and "f1=" in table
