@@ -46,7 +46,8 @@ class ModelConfig:
     # Space-to-depth execution of the small-channel early levels (ops/s2d.py):
     # an exact rearrangement (same network function, same parameter tree) that
     # avoids XLA:TPU's padded batch-minor layouts for C<32 convs.
-    # 'auto' = on for all DRN trunks on TPU, off elsewhere | 'on' | 'off'.
+    # 'auto' = on for DRN trunks on TPU, off elsewhere (incl. VGG-FCN8s,
+    # where packed stage-1 is exact but measured a wash) | 'on' | 'off'.
     s2d: str = "auto"
 
     def to_dict(self):

@@ -347,18 +347,9 @@ def build_drn(net: str, input_ch: int = 3, dtype=jnp.float32, s2d: str = "auto")
     if net not in _DRN_ZOO:
         raise ValueError(f"unknown DRN variant {net!r}; options: {sorted(_DRN_ZOO)}")
     spec = _DRN_ZOO[net]
-    if s2d == "auto":
-        import jax  # noqa: PLC0415
+    from mcseg_tpu.ops.s2d import resolve_s2d  # local import: avoid cycle
 
-        use_s2d = jax.default_backend() == "tpu"
-    elif s2d in ("on", True):
-        use_s2d = True
-    elif s2d in ("off", False):
-        use_s2d = False
-    else:
-        # argparse `choices` only guards the CLI path; programmatic
-        # ModelConfig(s2d='ON'/'yes'/...) must not silently lose the fast path.
-        raise ValueError(f"s2d must be 'auto'|'on'|'off' or bool, got {s2d!r}")
+    use_s2d = resolve_s2d(s2d)
     return DRN(
         arch=spec["arch"],
         block=spec["block"],

@@ -56,7 +56,16 @@ def get_models(cfg: ModelConfig) -> Tuple[nn.Module, nn.Module, nn.Module]:
         f2 = PixelClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
         return g, f1, f2
     if cfg.net in ("fcn", "fcn8s", "fcn8s_vgg16"):
-        g = VGG16FeatureGenerator(input_ch=cfg.input_ch, dtype=dt)
+        from mcseg_tpu.ops.s2d import resolve_s2d
+
+        # 'auto' resolves to OFF for the VGG trunk: packed stage-1 execution
+        # is exact but measured a wash on v5e (351-366 vs 340 ms/step — the
+        # stage is HBM/conv-FLOP-floor-bound, not MXU-arity-bound like the
+        # DRN stem; see docs/ARCHITECTURE.md). Explicit --s2d on still
+        # enables it for future geometries.
+        vgg_s2d = False if cfg.s2d == "auto" else resolve_s2d(cfg.s2d)
+        g = VGG16FeatureGenerator(input_ch=cfg.input_ch, dtype=dt,
+                                  s2d=vgg_s2d)
         f1 = FCN8sClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
         f2 = FCN8sClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
         return g, f1, f2

@@ -24,16 +24,55 @@ class VGG16FeatureGenerator(nn.Module):
     """VGG16 conv trunk + FCN's conv6/conv7 (fc-as-conv) layers.
 
     Returns (pool3, pool4, drop7) at strides 8/16/32.
+
+    ``s2d``: run stage 1 (the two full-resolution 64-channel convs) in the
+    space-to-depth packed domain (ops/s2d.py) — profiled at ~2% MXU
+    efficiency unpacked on v5e (64-deep contraction + layout padding at
+    640x480). Pack (1,2) makes them 128-channel at half width (full MXU
+    contraction arity at only 2x the conv FLOPs), and pool1 *consumes* the
+    pack's W direction: each 2x2/stride-2 pool window's W pair is exactly
+    the (1,2) pack offset, so that half of the pool is an elementwise max
+    over the 2 offset channel groups; the H pair is a row-pair max after a
+    free major-dim reshape — no select-and-scatter either way. Same
+    parameters, same function (float reduction order aside); exactness is
+    tested in tests/test_s2d.py against a float64 oracle.
     """
 
     input_ch: int = 3
     dtype: Any = jnp.float32
+    s2d: bool = False
+
+    def _use_s2d(self, x) -> bool:
+        return bool(self.s2d) and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        from mcseg_tpu.ops import s2d as _s2d  # local import: avoid cycle
+
         x = x.astype(self.dtype)
         feats = []
-        for si, (n_convs, ch) in enumerate(_VGG16_STAGES):
+        if self._use_s2d(x):
+            # pack (1,2): 128-deep contractions (full MXU arity) at only 2x
+            # the original conv FLOPs — the (2,2) pack's 3x3 packed taps
+            # quadruple them, which measured as a wash on v5e.
+            xp = _s2d.space_to_depth(x, 1, 2)
+            for ci in range(_VGG16_STAGES[0][0]):
+                xp = _s2d.PackedConv(
+                    64, 3, 1, in_pack=(1, 2), out_pack=(1, 2), use_bias=True,
+                    kernel_init=nn.linear.default_kernel_init,
+                    dtype=self.dtype, name=f"conv1_{ci + 1}")(xp)
+                xp = nn.relu(xp)
+            # pool1: the W direction of each 2x2 window is the pack offset
+            # (channel-group max); the H direction is a row-pair max after a
+            # free major-dim reshape. jnp.maximum's VJP is elementwise.
+            c = 64
+            xw = jnp.maximum(xp[..., 0 * c:1 * c], xp[..., 1 * c:2 * c])
+            b, hh, ww, _ = xw.shape
+            xw = xw.reshape(b, hh // 2, 2, ww, c)
+            x = jnp.maximum(xw[:, :, 0], xw[:, :, 1])
+            feats.append(x)
+        stages = _VGG16_STAGES[len(feats):]
+        for si, (n_convs, ch) in enumerate(stages, start=len(feats)):
             for ci in range(n_convs):
                 x = nn.Conv(
                     ch, (3, 3), padding="SAME", dtype=self.dtype,

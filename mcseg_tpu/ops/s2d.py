@@ -43,6 +43,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def resolve_s2d(s2d) -> bool:
+    """Resolve a ModelConfig.s2d value ('auto'|'on'|'off'|bool) to a bool.
+
+    'auto' = packed execution on TPU (where the sub-32-channel batch-minor
+    layout problem exists), plain execution elsewhere. Shared by every trunk
+    family with an s2d fast path (DRN, VGG-FCN8s).
+    """
+    if s2d == "auto":
+        return jax.default_backend() == "tpu"
+    if s2d in ("on", True):
+        return True
+    if s2d in ("off", False):
+        return False
+    # argparse `choices` only guards the CLI path; programmatic
+    # ModelConfig(s2d='ON'/'yes'/...) must not silently lose the fast path.
+    raise ValueError(f"s2d must be 'auto'|'on'|'off' or bool, got {s2d!r}")
+
+
 def space_to_depth(x: jax.Array, ph: int, pw: int) -> jax.Array:
     """[N,H,W,C] -> [N,H/ph,W/pw,ph*pw*C]; channel order (a_h, a_w, c)."""
     n, h, w, c = x.shape
@@ -192,9 +210,11 @@ def packed_conv(
 class PackedConv(nn.Module):
     """Drop-in for the trunk's nn.Conv in the packed domain.
 
-    Declares the ORIGINAL kernel parameter (same name/shape/init as the
-    unpacked nn.Conv, so parameter trees are identical) and applies it with
-    :func:`packed_conv`.
+    Declares the ORIGINAL kernel (and optional bias) parameters — same
+    names/shapes/inits as the unpacked nn.Conv, so parameter trees are
+    identical — and applies them with :func:`packed_conv`. The default
+    kernel_init matches the DRN trunk's _conv; bias-carrying trunks (VGG)
+    pass flax's nn.Conv defaults.
     """
 
     features: int
@@ -203,20 +223,30 @@ class PackedConv(nn.Module):
     in_pack: Tuple[int, int] = (1, 1)
     out_pack: Tuple[int, int] = (1, 1)
     dtype: Any = jnp.float32
+    use_bias: bool = False
+    kernel_init: Any = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
     @nn.compact
     def __call__(self, x):
         ci = x.shape[-1] // (self.in_pack[0] * self.in_pack[1])
         w = self.param(
             "kernel",
-            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            self.kernel_init,
             (self.kernel, self.kernel, ci, self.features),
             jnp.float32,
         )
         pad = self.kernel // 2
-        return packed_conv(
+        y = packed_conv(
             x.astype(self.dtype), w.astype(self.dtype),
             (self.stride, self.stride), (pad, pad), self.in_pack, self.out_pack)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            # packed channel layout is (offset, c): tile per-channel bias
+            # across the out_pack offset groups (same as PackedBatchNorm)
+            y = y + jnp.tile(b.astype(self.dtype),
+                             self.out_pack[0] * self.out_pack[1])
+        return y
 
 
 class PackedBatchNorm(nn.Module):

@@ -251,3 +251,76 @@ def test_late_fusion_honors_s2d():
     for a, b in zip(y1, y0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_vgg_s2d_exact_under_f64_oracle():
+    """VGG-FCN8s stage-1 packed execution (pack (1,2), pool1's W direction
+    consumed as a channel-group max) computes the same function as the plain
+    trunk —
+    forward features AND parameter grads, judged in float64 (same oracle
+    pattern as the DRN test above). Biased packed convs included."""
+    import contextlib
+
+    from mcseg_tpu.models.fcn_vgg import VGG16FeatureGenerator
+
+    @contextlib.contextmanager
+    def enable_x64():
+        jax.config.update("jax_enable_x64", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    with enable_x64():
+        rng = np.random.RandomState(7)
+        # smallest /32-divisible geometry: the packed path only touches
+        # stage 1, and f64 conv6 (7x7x512x4096) dominates at larger sizes
+        x = jnp.asarray(rng.rand(1, 32, 64, 3), jnp.float64)
+        plain = VGG16FeatureGenerator(input_ch=3, dtype=jnp.float64, s2d=False)
+        packed = VGG16FeatureGenerator(input_ch=3, dtype=jnp.float64, s2d=True)
+        # Params via eval_shape (trace only — skips two expensive f64
+        # full-trunk CPU compiles); values are arbitrary for an exactness
+        # test, so fill the shapes from one RandomState.
+        # close over x/train so eval_shape doesn't trace the bool `train`
+        # (Dropout's `not train` needs a concrete value)
+        shapes0 = jax.eval_shape(lambda k: plain.init(k, x, False),
+                                 jax.random.key(0))
+        shapes1 = jax.eval_shape(lambda k: packed.init(k, x, False),
+                                 jax.random.key(0))
+        assert set(shapes0["params"]) == set(
+            shapes1["params"]
+        ), "packed/plain parameter trees must be interchangeable"
+        assert jax.tree.map(lambda a: a.shape, shapes0) == jax.tree.map(
+            lambda a: a.shape, shapes1)
+        params = jax.tree.map(
+            lambda a: jnp.asarray(rng.standard_normal(a.shape) * 0.1,
+                                  jnp.float64), shapes0)["params"]
+
+        def loss(m, p):
+            # pool3/pool4 only: everything the packed stage feeds is covered,
+            # and (under jit) XLA DCEs stage 5 + the 4096-wide conv6/7
+            # (identical plain code on both variants, covered elsewhere)
+            # whose f64 CPU compile+grad otherwise dominates the suite's
+            # wall-clock.
+            p3, p4, _ = m.apply({"params": p}, x, False)
+            return jnp.mean(jnp.square(p3)) + jnp.mean(jnp.square(p4))
+
+        l0, g0 = jax.jit(jax.value_and_grad(lambda p: loss(plain, p)))(params)
+        l1, g1 = jax.jit(jax.value_and_grad(lambda p: loss(packed, p)))(params)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-12)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10),
+            g1, g0)
+
+
+def test_vgg_s2d_odd_shape_falls_back():
+    """Non-/2-divisible inputs skip the packed path instead of failing."""
+    from mcseg_tpu.models.fcn_vgg import VGG16FeatureGenerator
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 33, 35, 3), jnp.float32)
+    m = VGG16FeatureGenerator(input_ch=3, dtype=jnp.float32, s2d=True)
+    vs = m.init(jax.random.key(0), x, False)
+    p3, p4, d7 = m.apply(vs, x, False)
+    assert p3.shape[1:3] == (5, 5) and p4.shape[1:3] == (3, 3)
