@@ -182,3 +182,15 @@ def test_version_matches_pyproject():
     with open(os.path.join(root, "pyproject.toml")) as f:
         m = re.search(r'^version = "([^"]+)"', f.read(), re.M)
     assert m and mcseg_tpu.__version__ == m.group(1)
+
+
+def test_vgg_s2d_auto_resolves_off():
+    """'auto' must resolve to OFF for the VGG trunk (packed stage 1 measured
+    a wash on v5e — see docs/ARCHITECTURE.md) while staying available via an
+    explicit 'on'."""
+    g_auto, _, _ = get_models(ModelConfig(net="fcn8s_vgg16", s2d="auto"))
+    assert g_auto.s2d is False
+    g_on, _, _ = get_models(ModelConfig(net="fcn8s_vgg16", s2d="on"))
+    assert g_on.s2d is True
+    g_off, _, _ = get_models(ModelConfig(net="fcn8s_vgg16", s2d="off"))
+    assert g_off.s2d is False
