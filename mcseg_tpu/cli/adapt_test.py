@@ -55,6 +55,7 @@ def main(argv=None, average_classifiers=None):
         save_dir=args.outdir,
         saves_prob=args.saves_prob,
         mesh=mesh,
+        submit_dir=args.submit_dir,
     )
     return miou
 

@@ -115,6 +115,10 @@ def get_testing_parser(name: str = "test") -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--test_img_shape", type=int, nargs=2, default=None)
     p.add_argument("--outdir", default=None, help="dump label+color PNGs here")
+    p.add_argument("--submit_dir", default=None,
+                   help="dump official-submission-format predictions here "
+                        "(Cityscapes: native-resolution labelIds PNGs named "
+                        "after the source frames, for the evaluation server)")
     p.add_argument("--saves_prob", action="store_true",
                    help="also dump softmax probability maps (.npy)")
     p.add_argument("--use_f2", action="store_true",

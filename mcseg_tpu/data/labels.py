@@ -113,6 +113,27 @@ def remap(label: np.ndarray, table: np.ndarray) -> np.ndarray:
     return table[label.astype(np.int64)]
 
 
+def cityscapes_train_to_id_table() -> np.ndarray:
+    """[256] uint8 lookup: train id -> full Cityscapes label id (the inverse
+    of cityscapes_id_to_train_table); 255/ignore -> 0 ("unlabeled"). The
+    official Cityscapes evaluation server scores labelIds PNGs at native
+    2048x1024 resolution, so submission dumps remap argmax train ids through
+    this before saving."""
+    table = np.zeros(256, dtype=np.uint8)
+    for k, v in _CITY_ID_TO_TRAIN.items():
+        table[v] = k
+    return table
+
+
+def get_submit_table(dataset: str):
+    """Prediction remap for official-submission dumps (tester --submit_dir),
+    or None when the corpus has no submission protocol. Only Cityscapes has
+    an evaluation server among the reference's corpora."""
+    if dataset.lower() in ("city", "cityscapes"):
+        return cityscapes_train_to_id_table()
+    return None
+
+
 def get_label_spec(dataset: str):
     """(n_class, remap_table, names, palette) per corpus."""
     d = dataset.lower()

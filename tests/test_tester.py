@@ -55,3 +55,51 @@ def test_saves_prob_dumps(tmp_path):
     arr = np.load(probs[0])
     assert arr.shape == (32, 32, 40)
     np.testing.assert_allclose(arr.sum(-1), 1.0, atol=2e-2)  # fp16 softmax
+
+
+def test_submit_dir_cityscapes_labelids(tmp_path):
+    """--submit_dir dumps evaluation-server-format predictions: labelIds
+    PNGs at the native label resolution, named after the source frames,
+    values = the inverse of the training remap table."""
+    from PIL import Image
+
+    from mcseg_tpu.data.datasets import get_dataset
+    from mcseg_tpu.data.labels import (
+        cityscapes_id_to_train_table, get_submit_table)
+    from tests.test_corpus_layouts import make_cityscapes
+
+    make_cityscapes(tmp_path / "city", n=3, splits=("val",))
+    cfg = ExperimentConfig(
+        model=ModelConfig(net="drn_d_22", input_ch=3, n_class=19,
+                          dtype="float32"),
+        data=DataConfig(src_dataset="gta5", tgt_dataset="city",
+                        data_root=str(tmp_path), batch_size=2,
+                        train_img_shape=(64, 32), test_img_shape=(64, 32),
+                        input_ch=3),
+        train=TrainConfig(),
+    )
+    state, _, _ = create_train_state(cfg.model, cfg.train, jax.random.key(0),
+                                     img_shape=(32, 64))
+    ds = get_dataset("city", cfg.data, "val")
+    evaluate(state, cfg, ds, print_table=False,
+             submit_dir=str(tmp_path / "submit"))
+    files = sorted(glob.glob(str(tmp_path / "submit" / "*.png")))
+    # named after the source frames (the server matches <city>_<seq>_<frame>)
+    assert [f.split("/")[-1] for f in files] == [
+        f"cityA_{i:06d}_000019_leftImg8bit.png" for i in range(3)]
+    arr = np.asarray(Image.open(files[0]))
+    # native Cityscapes label resolution, valid labelIds only, and the
+    # training remap inverts the dump back to train ids with no ignores
+    assert arr.shape == (1024, 2048)
+    table = get_submit_table("city")
+    assert set(np.unique(arr)).issubset(set(table[:19].tolist()))
+    back = cityscapes_id_to_train_table()[arr]
+    assert back.max() <= 18
+
+
+def test_submit_dir_rejected_for_non_submission_corpus():
+    import pytest
+
+    cfg, state, ds = _setup(n_samples=2, bs=2)
+    with pytest.raises(ValueError, match="submission"):
+        evaluate(state, cfg, ds, print_table=False, submit_dir="/tmp/x")
