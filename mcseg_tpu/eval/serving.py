@@ -1,0 +1,149 @@
+"""Ahead-of-time serving export of the inference path.
+
+The reference has no serving story (its L5 surface is training scripts —
+SURVEY.md §1); production deployment of the rebuilt framework wants one. This
+module packages the full inference pipeline — raw uint8 planes → on-device
+preprocess (resize/normalize/HHA) → trunk → classifier(s) → native-resolution
+argmax — as a **self-contained `jax.export` StableHLO artifact**: parameters
+are baked in as constants, the graph is lowered for an explicit platform list
+(TPU and/or CPU), and the artifact runs under any JAX ≥ the recorded
+calling-convention version with zero framework code — `load_serving(path)`
+is a convenience, not a requirement.
+
+Why jax.export rather than a pickled apply-fn: the artifact is
+runtime-portable (serialized StableHLO + calling convention, no Python
+closures), versioned, and compiles on the serving host exactly as XLA sees
+it here — the TPU-native answer to torchscript/ONNX export.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mcseg_tpu.core.config import ExperimentConfig
+
+
+def make_serve_fn(
+    cfg: ExperimentConfig,
+    params,
+    batch_stats,
+    average_classifiers: bool = True,
+    out_shape: Optional[Tuple[int, int]] = None,
+    with_probs: bool = False,
+):
+    """Build ``serve(batch) -> pred[, probs]`` with params closed over.
+
+    ``batch``: {'image': uint8 [B,h,w,3]} plus 'depth' (float32 meters or
+    uint16-wire) when the checkpoint's input_ch needs HHA/depth channels —
+    the same raw planes the training pipeline ships, so a serving client
+    does no image math beyond decode.
+
+    ``out_shape``: (H, W) of the returned prediction map; defaults to the
+    checkpoint's test_img_shape. Predictions are int32 train ids; pass them
+    through data.labels.get_submit_table for submission label spaces.
+    """
+    from mcseg_tpu.models.factory import get_models
+    from mcseg_tpu.ops.preprocess import make_eval_preprocess
+    from mcseg_tpu.train.apply import apply_classifier, apply_generator
+
+    g, f1, f2 = get_models(cfg.model)
+    pp = make_eval_preprocess(cfg.data)
+    if out_shape is None:
+        tw, th = cfg.data.test_img_shape
+        out_shape = (th, tw)
+    oh, ow = out_shape
+
+    def serve(batch):
+        # eval preprocess wants a label plane; feed a dummy and drop it
+        # (it is DCE'd from the exported graph — nothing consumes it)
+        dummy = jnp.zeros(batch["image"].shape[:3], jnp.uint8)
+        img, _ = pp({**batch, "label": dummy})
+        feat, _ = apply_generator(g, params["G"], batch_stats["G"], img, False)
+        logits = apply_classifier(f1, params["F1"], feat, False)
+        if average_classifiers:
+            logits2 = apply_classifier(f2, params["F2"], feat, False)
+            logits = 0.5 * (logits + logits2)
+        if (oh, ow) != logits.shape[1:3]:
+            from mcseg_tpu.ops.upsample import upsample_matmul
+
+            logits = upsample_matmul(logits, oh, ow, "resize")
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if with_probs:
+            return pred, jax.nn.softmax(logits, axis=-1)
+        return pred
+
+    return serve
+
+
+def export_serving(
+    cfg: ExperimentConfig,
+    params,
+    batch_stats,
+    out_path: str,
+    batch: int = 1,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    average_classifiers: bool = True,
+    out_shape: Optional[Tuple[int, int]] = None,
+    with_probs: bool = False,
+) -> dict:
+    """Export the inference path to ``out_path`` (+ a ``.json`` manifest).
+
+    Returns the manifest dict. The artifact input is the raw-plane batch
+    dict at the fixed ``batch`` size and the checkpoint's decode geometry
+    (static shapes — the TPU serving contract; export several batch sizes
+    for a bucketing server).
+    """
+    from jax import export as jax_export
+
+    from mcseg_tpu.data.datasets import get_dataset
+
+    serve = make_serve_fn(cfg, params, batch_stats, average_classifiers,
+                          out_shape, with_probs)
+    # input spec: the decode geometry of the checkpoint's target corpus
+    ds = get_dataset(cfg.data.tgt_dataset, cfg.data, "val") \
+        if cfg.data.data_root else None
+    if ds is not None and hasattr(ds, "decode_size"):
+        w, h = ds.decode_size
+    else:
+        tw, th = cfg.data.test_img_shape
+        w, h = tw, th
+    spec = {"image": jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)}
+    if cfg.model.input_ch in (1, 4, 6):
+        spec["depth"] = jax.ShapeDtypeStruct((batch, h, w), jnp.float32)
+    exported = jax_export.export(jax.jit(serve), platforms=tuple(platforms))(
+        spec)
+    blob = exported.serialize()
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    manifest = {
+        "format": "jax.export/stablehlo",
+        "platforms": list(exported.platforms),
+        "calling_convention_version": exported.calling_convention_version,
+        "input_spec": {k: {"shape": list(v.shape), "dtype": str(v.dtype)}
+                       for k, v in spec.items()},
+        "output": "int32 train-id map [B,{},{}]".format(*(
+            out_shape or (cfg.data.test_img_shape[1],
+                          cfg.data.test_img_shape[0]))) + (
+            " + float32 softmax probs" if with_probs else ""),
+        "n_class": cfg.model.n_class,
+        "net": cfg.model.net,
+        "input_ch": cfg.model.input_ch,
+        "average_classifiers": average_classifiers,
+        "bytes": len(blob),
+    }
+    with open(out_path + ".json", "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def load_serving(path: str):
+    """Deserialize an exported artifact; returns ``exported.call`` (jittable)."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return exported.call

@@ -1,0 +1,63 @@
+"""Export a checkpoint's inference path as a self-contained serving artifact.
+
+    python -m mcseg_tpu.tools.export_serving runs/suncg2nyu/last \
+        --out model.shlo --batch 1 --platforms tpu,cpu [--with_probs] \
+        [--out_shape H W] [--f1_only]
+
+Writes ``model.shlo`` (serialized jax.export StableHLO — parameters baked in
+as constants) and ``model.shlo.json`` (manifest: input spec, platforms,
+calling-convention version). Load anywhere with:
+
+    from mcseg_tpu.eval.serving import load_serving
+    pred = load_serving("model.shlo")({"image": uint8_batch})
+
+or, framework-free, ``jax.export.deserialize(open(p,'rb').read()).call``.
+See eval/serving.py for the design rationale.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    from mcseg_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    p = argparse.ArgumentParser(
+        "export_serving", description="AOT-export a checkpoint for serving")
+    p.add_argument("checkpoint", help="checkpoint prefix (without .msgpack)")
+    p.add_argument("--out", required=True, help="artifact output path")
+    p.add_argument("--batch", type=int, default=1,
+                   help="static batch size of the exported graph")
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering platforms")
+    p.add_argument("--out_shape", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="prediction-map resolution (default: test_img_shape)")
+    p.add_argument("--with_probs", action="store_true",
+                   help="also return the softmax probability maps")
+    p.add_argument("--f1_only", action="store_true",
+                   help="serve F1 alone instead of averaging F1/F2")
+    args = p.parse_args(argv)
+
+    from mcseg_tpu.eval.serving import export_serving
+    from mcseg_tpu.utils.checkpoint import load_checkpoint
+
+    state, cfg = load_checkpoint(args.checkpoint)
+    manifest = export_serving(
+        cfg, state.params, state.batch_stats, args.out,
+        batch=args.batch,
+        platforms=tuple(s for s in args.platforms.split(",") if s),
+        average_classifiers=not args.f1_only,
+        out_shape=tuple(args.out_shape) if args.out_shape else None,
+        with_probs=args.with_probs,
+    )
+    print(f"wrote {args.out} ({manifest['bytes']} bytes) "
+          f"platforms={manifest['platforms']} "
+          f"input={manifest['input_spec']} -> {manifest['output']}")
+    return manifest
+
+
+if __name__ == "__main__":
+    main()
