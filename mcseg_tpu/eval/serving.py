@@ -103,9 +103,15 @@ def export_serving(
 
     serve = make_serve_fn(cfg, params, batch_stats, average_classifiers,
                           out_shape, with_probs)
-    # input spec: the decode geometry of the checkpoint's target corpus
-    ds = get_dataset(cfg.data.tgt_dataset, cfg.data, "val") \
-        if cfg.data.data_root else None
+    # input spec: the decode geometry of the checkpoint's target corpus —
+    # but the corpus need not exist on the exporting host (checkpoints
+    # embed the training host's data_root); fall back to test_img_shape
+    ds = None
+    if cfg.data.data_root:
+        try:
+            ds = get_dataset(cfg.data.tgt_dataset, cfg.data, "val")
+        except (FileNotFoundError, ValueError, OSError):
+            ds = None
     if ds is not None and hasattr(ds, "decode_size"):
         w, h = ds.decode_size
     else:

@@ -80,3 +80,16 @@ def test_export_cli_roundtrip(tmp_path):
     assert manifest["input_spec"]["image"]["shape"] == [1, 32, 32, 3]
     batch = {"image": np.zeros((1, 32, 32, 3), np.uint8)}
     assert np.asarray(load_serving(out)(batch)).shape == (1, 32, 32)
+
+
+def test_export_tolerates_missing_data_root(tmp_path):
+    import dataclasses
+
+    cfg, state = _setup()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(
+            cfg.data, tgt_dataset="nyu", data_root="/nonexistent/training/host"))
+    m = export_serving(cfg, state.params, state.batch_stats,
+                       str(tmp_path / "m.shlo"), batch=1, platforms=("cpu",))
+    # falls back to the checkpoint's test_img_shape geometry
+    assert m["input_spec"]["image"]["shape"] == [1, 32, 32, 3]
