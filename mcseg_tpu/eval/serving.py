@@ -45,32 +45,31 @@ def make_serve_fn(
     ``out_shape``: (H, W) of the returned prediction map; defaults to the
     checkpoint's test_img_shape. Predictions are int32 train ids; pass them
     through data.labels.get_submit_table for submission label spaces.
-    """
-    from mcseg_tpu.models.factory import get_models
-    from mcseg_tpu.ops.preprocess import make_eval_preprocess
-    from mcseg_tpu.train.apply import apply_classifier, apply_generator
 
-    g, f1, f2 = get_models(cfg.model)
-    pp = make_eval_preprocess(cfg.data)
+    Caveat (input_ch 1/4 only): the raw-depth channel is normalized by the
+    per-BATCH depth max — the training/eval semantics, reproduced exactly —
+    so multi-image requests couple each image's prediction to its batchmates.
+    Export with ``batch=1`` for per-image determinism (the manifest repeats
+    this note). input_ch 6 (HHA) has no such coupling.
+    """
+    from mcseg_tpu.eval.tester import make_infer_fn
+
     if out_shape is None:
         tw, th = cfg.data.test_img_shape
         out_shape = (th, tw)
-    oh, ow = out_shape
+    infer = make_infer_fn(cfg, average_classifiers, out_shape)
 
     def serve(batch):
+        if "image" not in batch:
+            # depth-only artifacts (input_ch=1): the RGB plane is dead code
+            # in the graph (DCE'd), so don't make clients ship one
+            plane = batch.get("depth", batch.get("hha", batch.get("ir")))
+            batch = {**batch,
+                     "image": jnp.zeros(plane.shape[:3] + (3,), jnp.uint8)}
         # eval preprocess wants a label plane; feed a dummy and drop it
-        # (it is DCE'd from the exported graph — nothing consumes it)
+        # (DCE'd from the exported graph — nothing consumes it)
         dummy = jnp.zeros(batch["image"].shape[:3], jnp.uint8)
-        img, _ = pp({**batch, "label": dummy})
-        feat, _ = apply_generator(g, params["G"], batch_stats["G"], img, False)
-        logits = apply_classifier(f1, params["F1"], feat, False)
-        if average_classifiers:
-            logits2 = apply_classifier(f2, params["F2"], feat, False)
-            logits = 0.5 * (logits + logits2)
-        if (oh, ow) != logits.shape[1:3]:
-            from mcseg_tpu.ops.upsample import upsample_matmul
-
-            logits = upsample_matmul(logits, oh, ow, "resize")
+        logits, _, _ = infer(params, batch_stats, {**batch, "label": dummy})
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if with_probs:
             return pred, jax.nn.softmax(logits, axis=-1)
@@ -89,6 +88,7 @@ def export_serving(
     average_classifiers: bool = True,
     out_shape: Optional[Tuple[int, int]] = None,
     with_probs: bool = False,
+    extra_plane: Optional[str] = None,
 ) -> dict:
     """Export the inference path to ``out_path`` (+ a ``.json`` manifest).
 
@@ -96,6 +96,15 @@ def export_serving(
     dict at the fixed ``batch`` size and the checkpoint's decode geometry
     (static shapes — the TPU serving contract; export several batch sizes
     for a bucketing server).
+
+    ``extra_plane``: which non-RGB plane the artifact ingests when
+    input_ch needs one — 'depth' (float32 meters), 'hha' (uint8 precomputed
+    HHA, the reference's offline path), or 'ir' (uint8 multispectral, the
+    input_ch=4 IR corpus). Default resolves from the checkpoint config:
+    'hha' when input_ch=6 trained with precomputed HHA files
+    (hha_on_device=False), 'ir' when the target corpus is the IR one, else
+    'depth'. Must match training — the preprocess branch (HHA-encode vs /255
+    scaling) follows the plane kind.
     """
     from jax import export as jax_export
 
@@ -112,14 +121,33 @@ def export_serving(
             ds = get_dataset(cfg.data.tgt_dataset, cfg.data, "val")
         except (FileNotFoundError, ValueError, OSError):
             ds = None
-    if ds is not None and hasattr(ds, "decode_size"):
+    if ds is not None:
         w, h = ds.decode_size
     else:
         tw, th = cfg.data.test_img_shape
         w, h = tw, th
-    spec = {"image": jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)}
+    spec = {}
+    if cfg.model.input_ch != 1:
+        spec["image"] = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
     if cfg.model.input_ch in (1, 4, 6):
-        spec["depth"] = jax.ShapeDtypeStruct((batch, h, w), jnp.float32)
+        if extra_plane is None:
+            if cfg.model.input_ch == 6 and not cfg.data.hha_on_device:
+                extra_plane = "hha"
+            elif cfg.data.tgt_dataset.lower() == "ir":
+                extra_plane = "ir"
+            else:
+                extra_plane = "depth"
+        if extra_plane == "depth":
+            spec["depth"] = jax.ShapeDtypeStruct((batch, h, w), jnp.float32)
+        elif extra_plane == "hha":
+            spec["hha"] = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
+        elif extra_plane == "ir":
+            spec["ir"] = jax.ShapeDtypeStruct((batch, h, w), jnp.uint8)
+        else:
+            raise ValueError(
+                f"extra_plane must be 'depth'|'hha'|'ir', got {extra_plane!r}")
+    else:
+        extra_plane = None
     exported = jax_export.export(jax.jit(serve), platforms=tuple(platforms))(
         spec)
     blob = exported.serialize()
@@ -138,9 +166,15 @@ def export_serving(
         "n_class": cfg.model.n_class,
         "net": cfg.model.net,
         "input_ch": cfg.model.input_ch,
+        "extra_plane": extra_plane,
         "average_classifiers": average_classifiers,
         "bytes": len(blob),
     }
+    if extra_plane == "depth" and cfg.model.input_ch in (1, 4):
+        manifest["note"] = (
+            "raw-depth normalization uses the per-batch depth max (training "
+            "semantics): multi-image batches couple predictions to their "
+            "batchmates — export batch=1 for per-image determinism")
     with open(out_path + ".json", "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest

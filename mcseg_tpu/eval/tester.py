@@ -28,6 +28,36 @@ from mcseg_tpu.train.apply import apply_classifier, apply_generator
 from mcseg_tpu.utils.util import mkdir_if_not_exist
 
 
+def make_infer_fn(cfg: ExperimentConfig, average_classifiers: bool = True,
+                  out_shape=None):
+    """The shared inference core: raw batch -> class logits.
+
+    ``infer(params, batch_stats, raw_batch) -> (logits, label, feat)`` runs
+    preprocess -> G -> F1 (averaged with F2 when ``average_classifiers``) ->
+    bilinear logits upsample to ``out_shape`` ((H, W); defaults to the
+    batch's label resolution — the eval protocol). Both the tester
+    (make_eval_step) and the serving export (eval/serving.py) wrap THIS
+    function, so the inference path cannot drift between them."""
+    g, f1, f2 = get_models(cfg.model)
+    pp = make_eval_preprocess(cfg.data)
+
+    def infer(params, batch_stats, raw_batch):
+        img, label = pp(raw_batch)
+        feat, _ = apply_generator(g, params["G"], batch_stats["G"], img, False)
+        logits = apply_classifier(f1, params["F1"], feat, False)
+        if average_classifiers:
+            logits2 = apply_classifier(f2, params["F2"], feat, False)
+            logits = 0.5 * (logits + logits2)
+        oh, ow = out_shape if out_shape is not None else label.shape[1:3]
+        if (oh, ow) != logits.shape[1:3]:
+            from mcseg_tpu.ops.upsample import upsample_matmul
+
+            logits = upsample_matmul(logits, oh, ow, "resize")
+        return logits, label, feat
+
+    return infer
+
+
 def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True,
                    return_probs: bool = False, with_depth: bool = False,
                    with_boundary: bool = False):
@@ -38,8 +68,7 @@ def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True,
     the batch, returning valid-pixel-weighted metric sums. ``with_boundary``
     evaluates the boundary head (params['B']) against label-derived edges,
     returning tp/fp/fn sums at the 0.5 threshold."""
-    g, f1, f2 = get_models(cfg.model)
-    pp = make_eval_preprocess(cfg.data)
+    infer = make_infer_fn(cfg, average_classifiers)
     n_class = cfg.model.n_class
     d_head = None
     if with_depth:
@@ -54,17 +83,7 @@ def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True,
 
     @jax.jit
     def eval_step(params, batch_stats, raw_batch):
-        img, label = pp(raw_batch)
-        feat, _ = apply_generator(g, params["G"], batch_stats["G"], img, False)
-        logits = apply_classifier(f1, params["F1"], feat, False)
-        if average_classifiers:
-            logits2 = apply_classifier(f2, params["F2"], feat, False)
-            logits = 0.5 * (logits + logits2)
-        b, lh, lw = label.shape
-        if (lh, lw) != logits.shape[1:3]:
-            from mcseg_tpu.ops.upsample import upsample_matmul
-
-            logits = upsample_matmul(logits, lh, lw, "resize")
+        logits, label, feat = infer(params, batch_stats, raw_batch)
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         hist = fast_hist(label, pred, n_class)
         out = [hist, pred]

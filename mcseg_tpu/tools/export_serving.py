@@ -39,6 +39,10 @@ def main(argv=None):
                    help="also return the softmax probability maps")
     p.add_argument("--f1_only", action="store_true",
                    help="serve F1 alone instead of averaging F1/F2")
+    p.add_argument("--extra_plane", default=None,
+                   choices=("depth", "hha", "ir"),
+                   help="non-RGB input plane kind (default: resolved from "
+                        "the checkpoint config — must match training)")
     args = p.parse_args(argv)
 
     from mcseg_tpu.eval.serving import export_serving
@@ -48,10 +52,12 @@ def main(argv=None):
     manifest = export_serving(
         cfg, state.params, state.batch_stats, args.out,
         batch=args.batch,
-        platforms=tuple(s for s in args.platforms.split(",") if s),
+        platforms=tuple(s.strip() for s in args.platforms.split(",")
+                        if s.strip()),
         average_classifiers=not args.f1_only,
         out_shape=tuple(args.out_shape) if args.out_shape else None,
         with_probs=args.with_probs,
+        extra_plane=args.extra_plane,
     )
     print(f"wrote {args.out} ({manifest['bytes']} bytes) "
           f"platforms={manifest['platforms']} "

@@ -93,3 +93,36 @@ def test_export_tolerates_missing_data_root(tmp_path):
                        str(tmp_path / "m.shlo"), batch=1, platforms=("cpu",))
     # falls back to the checkpoint's test_img_shape geometry
     assert m["input_spec"]["image"]["shape"] == [1, 32, 32, 3]
+
+
+def test_export_precomputed_hha_plane(tmp_path):
+    # input_ch=6 trained on precomputed HHA files (hha_on_device=False):
+    # the artifact must ingest a uint8 'hha' plane, NOT raw depth
+    import dataclasses
+
+    cfg, state = _setup(input_ch=6)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, hha_on_device=False))
+    path = str(tmp_path / "mh.shlo")
+    m = export_serving(cfg, state.params, state.batch_stats, path,
+                       batch=1, platforms=("cpu",))
+    assert m["extra_plane"] == "hha" and "depth" not in m["input_spec"]
+    rng = np.random.RandomState(2)
+    batch = {
+        "image": rng.randint(0, 255, (1, 32, 32, 3)).astype(np.uint8),
+        "hha": rng.randint(0, 255, (1, 32, 32, 3)).astype(np.uint8),
+    }
+    assert np.asarray(load_serving(path)(batch)).shape == (1, 32, 32)
+
+
+def test_export_depth_only_needs_no_image(tmp_path):
+    # input_ch=1: the RGB plane is dead code; clients ship only depth
+    cfg, state = _setup(input_ch=1)
+    path = str(tmp_path / "m1.shlo")
+    m = export_serving(cfg, state.params, state.batch_stats, path,
+                       batch=1, platforms=("cpu",))
+    assert list(m["input_spec"]) == ["depth"]
+    assert "per-batch depth max" in m["note"]
+    batch = {"depth": (np.random.RandomState(3).rand(1, 32, 32) * 4 + 0.5)
+             .astype(np.float32)}
+    assert np.asarray(load_serving(path)(batch)).shape == (1, 32, 32)
