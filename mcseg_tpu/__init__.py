@@ -20,7 +20,7 @@ Design is TPU-first, not a port:
     stack) runs fused on-device (ops/), fed by a double-buffered host pipeline.
 """
 
-__version__ = "0.4.0"  # kept in sync with pyproject.toml
+__version__ = "0.5.0"  # kept in sync with pyproject.toml
 
 from mcseg_tpu.core.config import (  # noqa: F401
     DataConfig,

@@ -76,6 +76,8 @@ def main(argv=None):
     p.add_argument("--num_k", type=int, default=4)
     p.add_argument("--img", type=int, nargs=2, default=[640, 480], metavar=("W", "H"))
     p.add_argument("--trace_dir", default="/tmp/mcseg_profile")
+    p.add_argument("--top", type=int, default=25,
+                   help="rows in the top-ops table")
     args = p.parse_args(argv)
 
     import jax
@@ -134,7 +136,7 @@ def main(argv=None):
     print("traced; loss_source =", float(m["loss_source"]))  # forces sync
     jax.profiler.stop_trace()
 
-    print(summarize_xplane(args.trace_dir, args.steps))
+    print(summarize_xplane(args.trace_dir, args.steps, top=args.top))
 
 
 if __name__ == "__main__":
