@@ -103,3 +103,29 @@ def test_hha_jit_compiles():
     f = jax.jit(lambda d: depth_to_hha_batch(d, K))
     out = f(jnp.asarray(np.stack([_wall_depth()] * 2)))
     assert out.shape == (2, H, W, 3)
+
+
+def test_prepare_hha_tool_matches_on_device_encoder(tmp_path):
+    """tools/prepare_hha CLI: 16-bit mm depth PNGs -> uint8 HHA PNGs equal to
+    the on-device encoder's output (offline == online by construction)."""
+    import os
+
+    from PIL import Image
+
+    from mcseg_tpu.ops.hha import default_intrinsics, depth_to_hha_batch
+    from mcseg_tpu.tools.prepare_hha import main
+
+    rng = np.random.RandomState(0)
+    dmm = (rng.rand(2, 24, 32) * 4000 + 500).astype(np.uint16)
+    ddir, odir = tmp_path / "depth", tmp_path / "hha"
+    os.makedirs(ddir)
+    for i in range(2):
+        Image.fromarray(dmm[i]).save(ddir / f"{i:04d}.png")
+    main([str(ddir), str(odir)])
+
+    want = np.asarray(depth_to_hha_batch(
+        jnp.asarray(dmm.astype(np.float32) / 1000.0),
+        default_intrinsics(24, 32))).astype(np.uint8)
+    for i in range(2):
+        got = np.asarray(Image.open(odir / f"{i:04d}.png"))
+        np.testing.assert_array_equal(got, want[i])
