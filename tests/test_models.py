@@ -194,3 +194,71 @@ def test_vgg_s2d_auto_resolves_off():
     assert g_on.s2d is True
     g_off, _, _ = get_models(ModelConfig(net="fcn8s_vgg16", s2d="off"))
     assert g_off.s2d is False
+
+
+def test_classifier_pair_fusion_exact():
+    """apply_classifier_pair's fused path (one doubled-width score conv +
+    one upsample) computes exactly the two separate PixelClassifier applies —
+    outputs AND parameter gradients, both upsample modes."""
+    from mcseg_tpu.models.heads import PixelClassifier
+    from mcseg_tpu.train.apply import apply_classifier, apply_classifier_pair
+
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.standard_normal((2, 8, 10, 32)), jnp.float32)
+    for mode in ("resize", "convt"):
+        f1 = PixelClassifier(7, upsample=mode, dtype=jnp.float32)
+        f2 = PixelClassifier(7, upsample=mode, dtype=jnp.float32)
+        p1 = f1.init(jax.random.key(1), feat, False)["params"]
+        p2 = f2.init(jax.random.key(2), feat, False)["params"]
+        # bias init is zeros; randomize so the bias path is actually checked
+        p1 = {"score": {"kernel": p1["score"]["kernel"],
+                        "bias": jnp.asarray(rng.standard_normal(7), jnp.float32)}}
+        p2 = {"score": {"kernel": p2["score"]["kernel"],
+                        "bias": jnp.asarray(rng.standard_normal(7), jnp.float32)}}
+
+        o1f, o2f = jax.jit(
+            lambda a, b: apply_classifier_pair(f1, a, f2, b, feat, True)
+        )(p1, p2)
+        o1 = apply_classifier(f1, p1, feat, True)
+        o2 = apply_classifier(f2, p2, feat, True)
+        np.testing.assert_allclose(np.asarray(o1f), np.asarray(o1),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(o2f), np.asarray(o2),
+                                   rtol=1e-6, atol=1e-6)
+
+        def loss_fused(ps):
+            a, b = apply_classifier_pair(f1, ps[0], f2, ps[1], feat, True)
+            return jnp.sum(a * a) + jnp.sum(jnp.abs(b))
+
+        def loss_sep(ps):
+            a = apply_classifier(f1, ps[0], feat, True)
+            b = apply_classifier(f2, ps[1], feat, True)
+            return jnp.sum(a * a) + jnp.sum(jnp.abs(b))
+
+        gf = jax.jit(jax.grad(loss_fused))((p1, p2))
+        gs = jax.jit(jax.grad(loss_sep))((p1, p2))
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-5),
+            gf, gs)
+
+
+def test_classifier_pair_falls_back_for_fcn_heads():
+    """Non-PixelClassifier pairs (FCN8s skip decoder) take the two-apply
+    path — same results as calling apply_classifier twice."""
+    from mcseg_tpu.models.fcn_vgg import FCN8sClassifier, VGG16FeatureGenerator
+    from mcseg_tpu.train.apply import apply_classifier, apply_classifier_pair
+
+    g = VGG16FeatureGenerator(input_ch=3, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 64, 3), jnp.float32)
+    gv = g.init(jax.random.key(0), x, False)
+    feat = g.apply(gv, x, False)
+    f1 = FCN8sClassifier(5, dtype=jnp.float32)
+    f2 = FCN8sClassifier(5, dtype=jnp.float32)
+    p1 = f1.init(jax.random.key(1), feat, False)["params"]
+    p2 = f2.init(jax.random.key(2), feat, False)["params"]
+    o1f, o2f = apply_classifier_pair(f1, p1, f2, p2, feat, False)
+    np.testing.assert_array_equal(
+        np.asarray(o1f), np.asarray(apply_classifier(f1, p1, feat, False)))
+    np.testing.assert_array_equal(
+        np.asarray(o2f), np.asarray(apply_classifier(f2, p2, feat, False)))
