@@ -61,9 +61,19 @@ def make_serve_fn(
 
     def serve(batch):
         if "image" not in batch:
-            # depth-only artifacts (input_ch=1): the RGB plane is dead code
-            # in the graph (DCE'd), so don't make clients ship one
+            # ONLY depth-only checkpoints (input_ch=1) may omit the RGB
+            # plane — there it is dead code in the graph (DCE'd). For any
+            # RGB-consuming input_ch, fabricating zeros would silently
+            # produce garbage predictions, so raise instead.
+            if cfg.model.input_ch != 1:
+                raise ValueError(
+                    "serving batch needs an 'image' plane (the checkpoint's "
+                    f"input_ch={cfg.model.input_ch} consumes RGB)")
             plane = batch.get("depth", batch.get("hha", batch.get("ir")))
+            if plane is None:
+                raise ValueError(
+                    "depth-only serving batch needs a 'depth' (or 'hha'/"
+                    "'ir') plane")
             batch = {**batch,
                      "image": jnp.zeros(plane.shape[:3] + (3,), jnp.uint8)}
         # eval preprocess wants a label plane; feed a dummy and drop it
@@ -126,28 +136,48 @@ def export_serving(
     else:
         tw, th = cfg.data.test_img_shape
         w, h = tw, th
+    if extra_plane is not None and extra_plane not in ("depth", "hha", "ir"):
+        raise ValueError(
+            f"extra_plane must be 'depth'|'hha'|'ir', got {extra_plane!r}")
+    plane_note = None
     spec = {}
     if cfg.model.input_ch != 1:
         spec["image"] = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
     if cfg.model.input_ch in (1, 4, 6):
+        if extra_plane == "ir" and cfg.model.input_ch == 6:
+            raise ValueError(
+                "extra_plane='ir' is only valid for input_ch 1/4 — the "
+                "input_ch=6 preprocess consumes HHA or raw depth")
         if extra_plane is None:
-            if cfg.model.input_ch == 6 and not cfg.data.hha_on_device:
-                extra_plane = "hha"
+            if cfg.model.input_ch == 6:
+                extra_plane = ("depth" if cfg.data.hha_on_device else "hha")
             elif cfg.data.tgt_dataset.lower() == "ir":
-                extra_plane = "ir"
+                # the train preprocess prefers raw depth over IR when the
+                # corpus carries both (ops/preprocess.py:_extra_channels);
+                # introspect the corpus when it is reachable, else default
+                # to depth and flag the ambiguity in the manifest
+                samples = getattr(ds, "samples", None) if ds is not None else None
+                if samples:
+                    extra_plane = "depth" if "depth" in samples[0] else "ir"
+                else:
+                    extra_plane = "depth"
+                    plane_note = (
+                        "tgt corpus 'ir' was not reachable at export time; "
+                        "defaulted to the raw-depth plane (the training "
+                        "preference when depth exists) — pass "
+                        "extra_plane='ir' if training consumed IR")
             else:
                 extra_plane = "depth"
         if extra_plane == "depth":
             spec["depth"] = jax.ShapeDtypeStruct((batch, h, w), jnp.float32)
         elif extra_plane == "hha":
             spec["hha"] = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
-        elif extra_plane == "ir":
-            spec["ir"] = jax.ShapeDtypeStruct((batch, h, w), jnp.uint8)
         else:
-            raise ValueError(
-                f"extra_plane must be 'depth'|'hha'|'ir', got {extra_plane!r}")
-    else:
-        extra_plane = None
+            spec["ir"] = jax.ShapeDtypeStruct((batch, h, w), jnp.uint8)
+    elif extra_plane is not None:
+        raise ValueError(
+            f"extra_plane={extra_plane!r} conflicts with "
+            f"input_ch={cfg.model.input_ch} (RGB-only checkpoint)")
     exported = jax_export.export(jax.jit(serve), platforms=tuple(platforms))(
         spec)
     blob = exported.serialize()
@@ -175,6 +205,8 @@ def export_serving(
             "raw-depth normalization uses the per-batch depth max (training "
             "semantics): multi-image batches couple predictions to their "
             "batchmates — export batch=1 for per-image determinism")
+    if plane_note:
+        manifest["plane_note"] = plane_note
     with open(out_path + ".json", "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest

@@ -126,3 +126,67 @@ def test_export_depth_only_needs_no_image(tmp_path):
     batch = {"depth": (np.random.RandomState(3).rand(1, 32, 32) * 4 + 0.5)
              .astype(np.float32)}
     assert np.asarray(load_serving(path)(batch)).shape == (1, 32, 32)
+
+
+def test_serve_requires_image_for_rgb_checkpoints():
+    cfg, state = _setup(input_ch=3)
+    serve = make_serve_fn(cfg, state.params, state.batch_stats)
+    with pytest.raises(ValueError, match="consumes RGB"):
+        serve({"depth": np.ones((1, 32, 32), np.float32)})
+
+
+def test_export_extra_plane_validation():
+    import dataclasses
+
+    cfg, state = _setup(input_ch=3)
+    with pytest.raises(ValueError, match="conflicts with"):
+        export_serving(cfg, state.params, state.batch_stats, "/tmp/x.shlo",
+                       platforms=("cpu",), extra_plane="depth")
+    with pytest.raises(ValueError, match="must be"):
+        export_serving(cfg, state.params, state.batch_stats, "/tmp/x.shlo",
+                       platforms=("cpu",), extra_plane="boundary")
+    cfg6, state6 = _setup(input_ch=6)
+    with pytest.raises(ValueError, match="only valid for input_ch 1/4"):
+        export_serving(cfg6, state6.params, state6.batch_stats, "/tmp/x.shlo",
+                       platforms=("cpu",), extra_plane="ir")
+    # ir-corpus default for input_ch=6 must resolve to depth/hha, never 'ir'
+    cfg6ir = dataclasses.replace(
+        cfg6, data=dataclasses.replace(cfg6.data, tgt_dataset="ir"))
+    m = export_serving(cfg6ir, state6.params, state6.batch_stats,
+                       "/tmp/x6ir.shlo", batch=1, platforms=("cpu",))
+    assert m["extra_plane"] == "depth"
+
+
+def test_export_ir_corpus_default_introspects_or_flags(tmp_path):
+    import dataclasses
+    import os
+
+    from PIL import Image
+
+    cfg, state = _setup(input_ch=4)
+    # unreachable corpus: defaults to depth + a manifest ambiguity note
+    cfg_ir = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, tgt_dataset="ir",
+                                      data_root="/nonexistent"))
+    m = export_serving(cfg_ir, state.params, state.batch_stats,
+                       str(tmp_path / "a.shlo"), batch=1, platforms=("cpu",))
+    assert m["extra_plane"] == "depth" and "plane_note" in m
+    # reachable ir corpus WITHOUT depth dirs: training consumed IR -> 'ir'
+    root = tmp_path / "ir"
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        os.makedirs(root / "val_rgb", exist_ok=True)
+        os.makedirs(root / "val_label", exist_ok=True)
+        os.makedirs(root / "val_ir", exist_ok=True)
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3)).astype(np.uint8)
+                        ).save(root / "val_rgb" / f"{i:04d}.png")
+        Image.fromarray(rng.randint(0, 19, (32, 32)).astype(np.uint8)
+                        ).save(root / "val_label" / f"{i:04d}.png")
+        Image.fromarray(rng.randint(0, 255, (32, 32)).astype(np.uint8)
+                        ).save(root / "val_ir" / f"{i:04d}.png")
+    cfg_ir2 = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, tgt_dataset="ir",
+                                      data_root=str(tmp_path)))
+    m2 = export_serving(cfg_ir2, state.params, state.batch_stats,
+                        str(tmp_path / "b.shlo"), batch=1, platforms=("cpu",))
+    assert m2["extra_plane"] == "ir" and "plane_note" not in m2
