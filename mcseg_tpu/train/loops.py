@@ -48,6 +48,43 @@ def _check_finite(metrics, step) -> None:
             )
 
 
+class _GracefulStop:
+    """SIGTERM/SIGINT-aware stop flag — the preemption contract for managed
+    TPU fleets (maintenance events deliver SIGTERM): the first signal lets
+    the in-flight iteration finish, after which the loop breaks and the
+    normal end-of-training path writes the final `last` checkpoint, so
+    `--resume <out_dir>/last` continues the run (the interrupted epoch's
+    data stream replays from its boundary — see _start_epoch). A second
+    signal raises KeyboardInterrupt (hard stop). The reference has no
+    counterpart (SURVEY.md section 5: crash = rerun); this narrows the
+    window where "rerun" loses work from an epoch to an iteration."""
+
+    def install(self):
+        import signal
+
+        self.stop = False
+        self._prev = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, self._handle)
+            except ValueError:  # not the main thread (embedded/test use)
+                pass
+        return self
+
+    def _handle(self, signum, frame):
+        if self.stop:
+            raise KeyboardInterrupt(f"second signal {signum}: hard stop")
+        self.stop = True
+        print(f"signal {signum}: finishing the current iteration, then "
+              "writing the final checkpoint and exiting", flush=True)
+
+    def restore(self):
+        import signal
+
+        for sig, h in self._prev.items():
+            signal.signal(sig, h)
+
+
 def _input_stream(dataset, mesh, cfg: ExperimentConfig, start_epoch: int):
     """Pick the training input path: HBM-resident corpus (device_corpus.py —
     decode once, feed steps by index, zero steady-state H2D traffic) when
@@ -144,8 +181,9 @@ def train_source(
     steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = _input_stream(dataset, mesh, cfg, start_epoch)
+    stop = _GracefulStop().install()
     for i, raw in enumerate(it):
-        if max_iterations is not None and i >= max_iterations:
+        if stop.stop or (max_iterations is not None and i >= max_iterations):
             break
         state, metrics = full_step(state, raw)
         timer.tick(cfg.data.batch_size)
@@ -161,6 +199,7 @@ def train_source(
                 save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
             if on_epoch_end:
                 on_epoch_end(epoch, state)
+    stop.restore()
     save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
     return state
 
@@ -282,8 +321,9 @@ def train_multitask(
     steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = _input_stream(dataset, mesh, cfg, start_epoch)
+    stop = _GracefulStop().install()
     for i, item in enumerate(it):
-        if max_iterations is not None and i >= max_iterations:
+        if stop.stop or (max_iterations is not None and i >= max_iterations):
             break
         if adapt:
             state, metrics = full_step(state, item[0], item[1])
@@ -302,6 +342,7 @@ def train_multitask(
                 save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
             if on_epoch_end:
                 on_epoch_end(epoch, state)
+    stop.restore()
     save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
     return state
 
@@ -351,8 +392,9 @@ def train_adapt(
     steps_per_epoch = max(len(zipped) // cfg.data.batch_size, 1)
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = _input_stream(zipped, mesh, cfg, start_epoch)
+    stop = _GracefulStop().install()
     for i, (src_raw, tgt_raw) in enumerate(it):
-        if max_iterations is not None and i >= max_iterations:
+        if stop.stop or (max_iterations is not None and i >= max_iterations):
             break
         state, metrics = full_step(state, src_raw, tgt_raw)
         timer.tick(cfg.data.batch_size)
@@ -368,5 +410,6 @@ def train_adapt(
                 save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
             if on_epoch_end:
                 on_epoch_end(epoch, state)
+    stop.restore()
     save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
     return state

@@ -42,14 +42,24 @@ def _state_to_dict(state: MCDTrainState) -> dict:
 
 
 def save_checkpoint(prefix: str, state: MCDTrainState, config: ExperimentConfig) -> str:
-    """Write <prefix>.msgpack + <prefix>.config.json; returns the msgpack path."""
+    """Write <prefix>.msgpack + <prefix>.config.json; returns the msgpack path.
+
+    Writes are ATOMIC (tmp file + os.replace): a crash or preemption
+    mid-write can never leave a truncated checkpoint at the published path —
+    the failure-recovery contract is "rerun with --resume <prefix>"
+    (SURVEY.md section 5), which only holds if <prefix> is always either the
+    old complete checkpoint or the new complete one."""
     mkdir_if_not_exist(os.path.dirname(prefix) or ".")
     host_state = jax.device_get(_state_to_dict(state))
     blob = serialization.to_bytes(host_state)
     path = prefix + ".msgpack"
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(blob)
-    save_dic_to_json(config.to_dict(), prefix + ".config.json")
+    os.replace(tmp, path)
+    cfg_path = prefix + ".config.json"
+    save_dic_to_json(config.to_dict(), cfg_path + ".tmp")
+    os.replace(cfg_path + ".tmp", cfg_path)
     return path
 
 

@@ -143,3 +143,33 @@ def test_resume_replays_identical_data_stream(tmp_path):
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)),
         resumed.params, straight.params)
+
+
+def test_sigterm_writes_final_checkpoint_and_exits(tmp_path):
+    """Preemption contract (train/loops.py:_GracefulStop): SIGTERM lets the
+    in-flight iteration finish, then the loop exits cleanly through the
+    normal end-of-training path — final `last` checkpoint written, state
+    returned, and the checkpoint is resumable. Also: no stray .tmp files
+    from the atomic checkpoint writes."""
+    import glob
+    import signal
+
+    cfg = _cfg(tmp_path, epochs=50)  # 16/8 = 2 steps/epoch -> 100 steps
+    hits = []
+
+    def hook(epoch, state):
+        hits.append(epoch)
+        if epoch == 2:
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    state = train_source(cfg, on_epoch_end=hook)
+    # stopped right after epoch 2 (step 4), far short of the 100-step run
+    assert hits == [1, 2]
+    assert int(np.asarray(state.step)) == 4
+    assert os.path.exists(str(tmp_path / "run" / "last.msgpack"))
+    assert glob.glob(str(tmp_path / "run" / "*.tmp")) == []
+    # the handler stack is restored after the loop
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+    restored, rcfg = load_checkpoint(str(tmp_path / "run" / "last"))
+    assert int(np.asarray(restored.step)) == 4
