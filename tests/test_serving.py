@@ -190,3 +190,60 @@ def test_export_ir_corpus_default_introspects_or_flags(tmp_path):
     m2 = export_serving(cfg_ir2, state.params, state.batch_stats,
                         str(tmp_path / "b.shlo"), batch=1, platforms=("cpu",))
     assert m2["extra_plane"] == "ir" and "plane_note" not in m2
+
+
+def test_http_serving_host(tmp_path):
+    """tools/serve_http: export -> serve -> POST a PNG -> the returned label
+    PNG equals the direct artifact call; /healthz echoes the manifest;
+    missing planes get a 400."""
+    import base64
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from mcseg_tpu.tools.serve_http import make_server
+
+    cfg, state = _setup(input_ch=3)
+    path = str(tmp_path / "m.shlo")
+    export_serving(cfg, state.params, state.batch_stats, path,
+                   batch=1, platforms=("cpu",))
+
+    srv = make_server(path, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        health = json.loads(urllib.request.urlopen(url + "/healthz").read())
+        assert health["net"] == "drn_d_22"
+
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (32, 32, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        req = urllib.request.Request(
+            url + "/predict",
+            data=json.dumps(
+                {"image": base64.b64encode(buf.getvalue()).decode()}).encode(),
+            headers={"Content-Type": "application/json"})
+        resp = json.loads(urllib.request.urlopen(req).read())
+        assert resp["shape"] == [32, 32]
+        got = np.asarray(Image.open(
+            io.BytesIO(base64.b64decode(resp["pred_png"]))))
+        want = np.asarray(load_serving(path)({"image": img[None]}))[0]
+        np.testing.assert_array_equal(got, want)
+        assert sum(resp["classes"].values()) == 32 * 32
+
+        # missing plane -> 400 with a helpful error
+        bad = urllib.request.Request(
+            url + "/predict", data=b"{}",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "missing plane" in e.read().decode()
+    finally:
+        srv.shutdown()
