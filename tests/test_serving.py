@@ -247,3 +247,47 @@ def test_http_serving_host(tmp_path):
             assert e.code == 400 and "missing plane" in e.read().decode()
     finally:
         srv.shutdown()
+
+
+def test_http_serving_host_depth_plane(tmp_path):
+    """RGB-D artifact over HTTP: the 16-bit millimeter depth PNG decodes to
+    meters and feeds the on-device HHA encode inside the artifact."""
+    import base64
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from mcseg_tpu.tools.serve_http import make_server
+
+    cfg, state = _setup(input_ch=6)
+    path = str(tmp_path / "m6.shlo")
+    export_serving(cfg, state.params, state.batch_stats, path,
+                   batch=1, platforms=("cpu",))
+    srv = make_server(path, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 255, (32, 32, 3)).astype(np.uint8)
+        dmm = (rng.rand(32, 32) * 4000 + 500).astype(np.uint16)
+        bi, bd = io.BytesIO(), io.BytesIO()
+        Image.fromarray(img).save(bi, format="PNG")
+        Image.fromarray(dmm).save(bd, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_address[1]}/predict",
+            data=json.dumps({
+                "image": base64.b64encode(bi.getvalue()).decode(),
+                "depth": base64.b64encode(bd.getvalue()).decode(),
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        resp = json.loads(urllib.request.urlopen(req).read())
+        got = np.asarray(Image.open(
+            io.BytesIO(base64.b64decode(resp["pred_png"]))))
+        want = np.asarray(load_serving(path)(
+            {"image": img[None],
+             "depth": (dmm.astype(np.float32) / 1000.0)[None]}))[0]
+        np.testing.assert_array_equal(got, want)
+    finally:
+        srv.shutdown()
