@@ -32,7 +32,8 @@ def make_epoch_eval_hook(cfg, mesh, every: int, logger=None) -> Optional[callabl
             return
         if "step" not in cache:
             with_depth = "D" in state.params and "depth" in dataset[0]
-            cache["step"] = make_eval_step(cfg, True, with_depth=with_depth)
+            cache["step"] = make_eval_step(cfg, True, with_depth=with_depth,
+                                           with_boundary="B" in state.params)
         miou, _, _ = evaluate(state, cfg, dataset, print_table=False,
                               mesh=mesh, eval_step=cache["step"])
         line = {"epoch": epoch, "val_miou": round(100.0 * float(miou), 3)}

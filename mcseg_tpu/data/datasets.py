@@ -36,6 +36,7 @@ from PIL import Image
 
 from mcseg_tpu.core.config import DataConfig
 from mcseg_tpu.data.labels import get_label_spec
+from mcseg_tpu.data.pipeline import _stack  # no cycle: pipeline is dataset-agnostic
 
 
 class SegDataset:
@@ -65,6 +66,12 @@ class SegDataset:
         self._cache_bytes = 0
         self._cache_budget = int(
             getattr(cfg, "decode_cache_gb", 0.0) * 1e9)
+        # the pooled batch path (pipeline.batch_iterator num_workers>1) runs
+        # concurrent get_batch calls on one dataset; serialize the
+        # insert+accounting so _cache_bytes can't double-count an index
+        import threading
+
+        self._cache_lock = threading.Lock()
 
     # -- per-corpus hooks -------------------------------------------------
     corpus = "nyu"
@@ -139,13 +146,14 @@ class SegDataset:
         return arr.astype(np.float32)
 
     def _cache_put(self, i: int, sample: Dict[str, np.ndarray]) -> None:
-        if i in self._cache:
-            return
         nbytes = sum(v.nbytes for v in sample.values())
-        if self._cache_bytes + nbytes > self._cache_budget:
-            return
-        self._cache[i] = sample
-        self._cache_bytes += nbytes
+        with self._cache_lock:
+            if i in self._cache:
+                return
+            if self._cache_bytes + nbytes > self._cache_budget:
+                return
+            self._cache[i] = sample
+            self._cache_bytes += nbytes
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         cached = self._cache.get(i)
@@ -192,7 +200,7 @@ class SegDataset:
         # corpus at batch 24).
         missing = [i for i in idx if i not in cache] if cache is not None else idx
         if not missing:
-            return _stack_samples([cache[i] for i in idx])
+            return _stack([cache[i] for i in idx])
         file_list = getattr(self, "samples", None)  # procedural corpora: none
         samples = [file_list[i] for i in missing] if file_list else []
         usable = (
@@ -202,7 +210,7 @@ class SegDataset:
             and not any("ir" in s for s in samples)
         )
         if not usable:
-            return _stack_samples([self[i] for i in idx])
+            return _stack([self[i] for i in idx])
         w, h = self.decode_size
         lw, lh = self.label_size
         try:
@@ -218,7 +226,7 @@ class SegDataset:
                 out["depth"] = native.decode_depth16_batch(
                     [s["depth"] for s in samples], h, w)
         except IOError:
-            return _stack_samples([self[i] for i in idx])
+            return _stack([self[i] for i in idx])
         if len(missing) == len(idx):
             if cache is not None:
                 for k, i in enumerate(missing):
@@ -232,12 +240,8 @@ class SegDataset:
         if cache is not None:
             for i, s in decoded.items():
                 self._cache_put(i, s)
-        return _stack_samples(
+        return _stack(
             [decoded[i] if i in decoded else cache[i] for i in idx])
-
-
-def _stack_samples(samples) -> Dict[str, np.ndarray]:
-    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
 class CityscapesDataset(SegDataset):

@@ -96,6 +96,15 @@ def stage_corpus(dataset, mesh, drop_label: bool = False,
         if not out_np:
             out_np = {k: np.empty((n,) + v.shape[1:], v.dtype)
                       for k, v in b.items()}
+        elif set(b) != set(out_np):
+            # a chunk with a different plane set would leave its rows of the
+            # missing plane as UNINITIALIZED np.empty memory — silently
+            # training on heap garbage. Fail loudly like the streaming path.
+            raise ValueError(
+                f"corpus has inconsistent planes across samples: chunk at "
+                f"index {lo} decoded {sorted(b)} but the corpus started with "
+                f"{sorted(out_np)} — every sample needs the same plane set "
+                "(e.g. a partially populated depth/ directory)")
         for k, v in b.items():
             out_np[k][lo : lo + len(idx)] = v
     # the corpus now lives in HBM; don't keep a host-RAM duplicate in the

@@ -118,6 +118,11 @@ def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True,
             })
         return tuple(out)
 
+    # The result tuple's layout depends on these flags; evaluate() reads them
+    # off a PREBUILT step (the --eval_every_epochs cached-step path) instead
+    # of re-inferring from params — a mismatch would misparse the tuple.
+    eval_step.flags = {"return_probs": return_probs, "with_depth": with_depth,
+                       "with_boundary": with_boundary}
     return eval_step
 
 
@@ -174,10 +179,15 @@ def evaluate(
     with_boundary = "B" in params
     # ``eval_step``: pass a prebuilt make_eval_step result to reuse its jit
     # cache across calls (the --eval_every_epochs hook evaluates every epoch;
-    # a fresh closure per call would retrace each time).
+    # a fresh closure per call would retrace each time). The step's result
+    # tuple is parsed by ITS OWN flags — never by the params-inferred ones,
+    # which could disagree with how the prebuilt step was constructed.
     step = eval_step or make_eval_step(
         cfg, average_classifiers, return_probs=saves_prob,
         with_depth=with_depth, with_boundary=with_boundary)
+    saves_prob = step.flags["return_probs"]
+    with_depth = step.flags["with_depth"]
+    with_boundary = step.flags["with_boundary"]
 
     n_class = cfg.model.n_class
     # Per-batch [n,n] hists are int32 (one batch is ~1e7 pixels, far from

@@ -135,8 +135,13 @@ class _Handler(BaseHTTPRequestHandler):
                 "shape": list(pred.shape),
                 "classes": {int(i): int(c) for i, c in zip(ids, counts)},
             })
-        except (KeyError, ValueError, json.JSONDecodeError) as e:
-            self._send(400, {"error": str(e)})
+        except (KeyError, ValueError, json.JSONDecodeError, OSError) as e:
+            # OSError covers PIL's UnidentifiedImageError on corrupt bytes —
+            # the client must get the documented JSON 400, never a dropped
+            # connection
+            self._send(400, {"error": f"{type(e).__name__}: {e}"})
+        except Exception as e:  # keep the contract even for surprises
+            self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
     def log_message(self, fmt, *args):  # quiet by default
         pass

@@ -182,24 +182,26 @@ def train_source(
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = _input_stream(dataset, mesh, cfg, start_epoch)
     stop = _GracefulStop().install()
-    for i, raw in enumerate(it):
-        if stop.stop or (max_iterations is not None and i >= max_iterations):
-            break
-        state, metrics = full_step(state, raw)
-        timer.tick(cfg.data.batch_size)
-        if i % cfg.train.log_every == 0:
-            host_metrics = jax.device_get(metrics)
-            _check_finite(host_metrics, step0 + i)
-            logger.log({"step": step0 + i, **host_metrics,
-                        "img_per_sec": timer.items_per_sec})
-        if (i + 1) % steps_per_epoch == 0:
-            epoch = start_epoch + (i + 1) // steps_per_epoch
-            if (cfg.train.checkpoint_every_epochs > 0
-                    and epoch % cfg.train.checkpoint_every_epochs == 0):
-                save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
-            if on_epoch_end:
-                on_epoch_end(epoch, state)
-    stop.restore()
+    try:
+        for i, raw in enumerate(it):
+            if stop.stop or (max_iterations is not None and i >= max_iterations):
+                break
+            state, metrics = full_step(state, raw)
+            timer.tick(cfg.data.batch_size)
+            if i % cfg.train.log_every == 0:
+                host_metrics = jax.device_get(metrics)
+                _check_finite(host_metrics, step0 + i)
+                logger.log({"step": step0 + i, **host_metrics,
+                            "img_per_sec": timer.items_per_sec})
+            if (i + 1) % steps_per_epoch == 0:
+                epoch = start_epoch + (i + 1) // steps_per_epoch
+                if (cfg.train.checkpoint_every_epochs > 0
+                        and epoch % cfg.train.checkpoint_every_epochs == 0):
+                    save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
+                if on_epoch_end:
+                    on_epoch_end(epoch, state)
+    finally:
+        stop.restore()
     save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
     return state
 
@@ -322,27 +324,29 @@ def train_multitask(
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = _input_stream(dataset, mesh, cfg, start_epoch)
     stop = _GracefulStop().install()
-    for i, item in enumerate(it):
-        if stop.stop or (max_iterations is not None and i >= max_iterations):
-            break
-        if adapt:
-            state, metrics = full_step(state, item[0], item[1])
-        else:
-            state, metrics = full_step(state, item)
-        timer.tick(cfg.data.batch_size)
-        if i % cfg.train.log_every == 0:
-            host_metrics = jax.device_get(metrics)
-            _check_finite(host_metrics, step0 + i)
-            logger.log({"step": step0 + i, **host_metrics,
-                        "img_per_sec": timer.items_per_sec})
-        if (i + 1) % steps_per_epoch == 0:
-            epoch = start_epoch + (i + 1) // steps_per_epoch
-            if (cfg.train.checkpoint_every_epochs > 0
-                    and epoch % cfg.train.checkpoint_every_epochs == 0):
-                save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
-            if on_epoch_end:
-                on_epoch_end(epoch, state)
-    stop.restore()
+    try:
+        for i, item in enumerate(it):
+            if stop.stop or (max_iterations is not None and i >= max_iterations):
+                break
+            if adapt:
+                state, metrics = full_step(state, item[0], item[1])
+            else:
+                state, metrics = full_step(state, item)
+            timer.tick(cfg.data.batch_size)
+            if i % cfg.train.log_every == 0:
+                host_metrics = jax.device_get(metrics)
+                _check_finite(host_metrics, step0 + i)
+                logger.log({"step": step0 + i, **host_metrics,
+                            "img_per_sec": timer.items_per_sec})
+            if (i + 1) % steps_per_epoch == 0:
+                epoch = start_epoch + (i + 1) // steps_per_epoch
+                if (cfg.train.checkpoint_every_epochs > 0
+                        and epoch % cfg.train.checkpoint_every_epochs == 0):
+                    save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
+                if on_epoch_end:
+                    on_epoch_end(epoch, state)
+    finally:
+        stop.restore()
     save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
     return state
 
@@ -393,23 +397,25 @@ def train_adapt(
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = _input_stream(zipped, mesh, cfg, start_epoch)
     stop = _GracefulStop().install()
-    for i, (src_raw, tgt_raw) in enumerate(it):
-        if stop.stop or (max_iterations is not None and i >= max_iterations):
-            break
-        state, metrics = full_step(state, src_raw, tgt_raw)
-        timer.tick(cfg.data.batch_size)
-        if i % cfg.train.log_every == 0:
-            host_metrics = jax.device_get(metrics)
-            _check_finite(host_metrics, step0 + i)
-            logger.log({"step": step0 + i, **host_metrics,
-                        "img_per_sec": timer.items_per_sec})
-        if (i + 1) % steps_per_epoch == 0:
-            epoch = start_epoch + (i + 1) // steps_per_epoch
-            if (cfg.train.checkpoint_every_epochs > 0
-                    and epoch % cfg.train.checkpoint_every_epochs == 0):
-                save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
-            if on_epoch_end:
-                on_epoch_end(epoch, state)
-    stop.restore()
+    try:
+        for i, (src_raw, tgt_raw) in enumerate(it):
+            if stop.stop or (max_iterations is not None and i >= max_iterations):
+                break
+            state, metrics = full_step(state, src_raw, tgt_raw)
+            timer.tick(cfg.data.batch_size)
+            if i % cfg.train.log_every == 0:
+                host_metrics = jax.device_get(metrics)
+                _check_finite(host_metrics, step0 + i)
+                logger.log({"step": step0 + i, **host_metrics,
+                            "img_per_sec": timer.items_per_sec})
+            if (i + 1) % steps_per_epoch == 0:
+                epoch = start_epoch + (i + 1) // steps_per_epoch
+                if (cfg.train.checkpoint_every_epochs > 0
+                        and epoch % cfg.train.checkpoint_every_epochs == 0):
+                    save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
+                if on_epoch_end:
+                    on_epoch_end(epoch, state)
+    finally:
+        stop.restore()
     save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
     return state

@@ -120,3 +120,25 @@ def test_training_identical_device_corpus_on_vs_off(tmp_path):
     s_off = train_source(_train_cfg(tmp_path, "off", "off"))
     _tree_equal(s_on.params, s_off.params)
     _tree_equal(s_on.opt_g, s_off.opt_g)
+
+
+def test_stage_corpus_rejects_inconsistent_planes():
+    """A corpus whose samples disagree on the plane set (e.g. a partially
+    populated depth/ directory) must fail loudly — silently skipping the
+    fill would stage uninitialized np.empty memory as training input."""
+    from mcseg_tpu.data.device_corpus import stage_corpus
+
+    class Inconsistent:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            s = {"image": np.zeros((8, 8, 3), np.uint8),
+                 "label": np.zeros((8, 8), np.uint8)}
+            if i < 2:  # first chunk has depth, later ones don't
+                s["depth"] = np.zeros((8, 8), np.float32)
+            return s
+
+    mesh = make_mesh(1)
+    with pytest.raises(ValueError, match="inconsistent planes"):
+        stage_corpus(Inconsistent(), mesh, chunk=2)

@@ -338,3 +338,25 @@ def test_boundary_checkpoint_roundtrip_and_eval(tmp_path):
     ds = SyntheticDataset(dcfg, "val")
     _, _, table = evaluate(restored, cfg, ds, print_table=False, max_batches=1)
     assert "boundary: precision=" in table and "f1=" in table
+
+
+def test_epoch_eval_hook_with_boundary_head():
+    """Regression: the --eval_every_epochs hook's prebuilt eval step used to
+    omit the boundary flag while evaluate() inferred it from the params
+    ('B' subtree) — misparsing the step's result tuple (IndexError). The
+    result layout is now read off the step itself (eval_step.flags)."""
+    from mcseg_tpu.cli._epoch_eval import make_epoch_eval_hook
+    from mcseg_tpu.core.config import DataConfig, ExperimentConfig
+    from mcseg_tpu.parallel.mesh import make_mesh
+
+    mcfg, tcfg, state, *_ = _setup_boundary()
+    cfg = ExperimentConfig(
+        model=mcfg,
+        data=DataConfig(src_dataset="synthetic", tgt_dataset="synthetic",
+                        batch_size=2, train_img_shape=(16, 16),
+                        test_img_shape=(16, 16), input_ch=3, max_samples=4),
+        train=tcfg,
+    )
+    hook = make_epoch_eval_hook(cfg, make_mesh(1), every=1)
+    hook(1, state)  # used to raise IndexError mid-training
+    hook(2, state)  # cached-step path

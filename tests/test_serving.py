@@ -291,3 +291,34 @@ def test_http_serving_host_depth_plane(tmp_path):
         np.testing.assert_array_equal(got, want)
     finally:
         srv.shutdown()
+
+
+def test_http_serving_corrupt_image_gets_400(tmp_path):
+    """Undecodable image bytes must produce the documented JSON 400, not a
+    dropped connection (PIL's UnidentifiedImageError is an OSError)."""
+    import base64
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from mcseg_tpu.tools.serve_http import make_server
+
+    cfg, state = _setup(input_ch=3)
+    path = str(tmp_path / "m.shlo")
+    export_serving(cfg, state.params, state.batch_stats, path,
+                   batch=1, platforms=("cpu",))
+    srv = make_server(path, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_address[1]}/predict",
+            data=json.dumps(
+                {"image": base64.b64encode(b"not a png").decode()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+        assert "error" in json.loads(e.value.read())
+    finally:
+        srv.shutdown()
