@@ -47,6 +47,9 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--out_dir", default="./runs/run0")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--checkpoint_every_epochs", type=int, default=1)
+    p.add_argument("--max_hours", type=float, default=0.0,
+                   help="wall-clock budget; exceeded -> graceful stop with a "
+                        "final resumable checkpoint (0 = unbounded)")
     p.add_argument("--eval_every_epochs", type=int, default=0,
                    help="run mesh-sharded val mIoU at epoch ends (0 = off)")
 
@@ -186,5 +189,6 @@ def args_to_config(args: argparse.Namespace, adapt: bool) -> ExperimentConfig:
         out_dir=args.out_dir,
         log_every=args.log_every,
         checkpoint_every_epochs=getattr(args, "checkpoint_every_epochs", 1),
+        max_hours=getattr(args, "max_hours", 0.0),
     )
     return ExperimentConfig(model=model, data=data, train=train)

@@ -131,6 +131,10 @@ class TrainConfig:
     log_every: int = 50
     tb_dir: str = ""  # optional TensorBoard event dir (reference's TB-style logger)
     checkpoint_every_epochs: int = 1
+    # wall-clock budget in hours (0 = unbounded): when exceeded, the loop
+    # exits through the same graceful path as SIGTERM — final `last`
+    # checkpoint written, resumable with --resume (batch-scheduler contract)
+    max_hours: float = 0.0
 
     def to_dict(self):
         return _asdict(self)

@@ -59,9 +59,11 @@ class _GracefulStop:
     counterpart (SURVEY.md section 5: crash = rerun); this narrows the
     window where "rerun" loses work from an epoch to an iteration."""
 
-    def install(self):
+    def install(self, max_hours: float = 0.0):
         import signal
+        import time
 
+        self._deadline = time.time() + max_hours * 3600 if max_hours else None
         self.stop = False
         self._prev = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
@@ -77,6 +79,19 @@ class _GracefulStop:
         self.stop = True
         print(f"signal {signum}: finishing the current iteration, then "
               "writing the final checkpoint and exiting", flush=True)
+
+    def expired(self) -> bool:
+        """True once the --max_hours wall-clock budget is exhausted; exits
+        through the same graceful final-checkpoint path as a signal."""
+        import time
+
+        if self._deadline is not None and time.time() > self._deadline:
+            if not self.stop:
+                print("max_hours budget exhausted: writing the final "
+                      "checkpoint and exiting", flush=True)
+                self.stop = True
+            return True
+        return False
 
     def restore(self):
         import signal
@@ -181,10 +196,10 @@ def train_source(
     steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = _input_stream(dataset, mesh, cfg, start_epoch)
-    stop = _GracefulStop().install()
+    stop = _GracefulStop().install(cfg.train.max_hours)
     try:
         for i, raw in enumerate(it):
-            if stop.stop or (max_iterations is not None and i >= max_iterations):
+            if stop.stop or (i > 0 and stop.expired()) or (max_iterations is not None and i >= max_iterations):
                 break
             state, metrics = full_step(state, raw)
             timer.tick(cfg.data.batch_size)
@@ -323,10 +338,10 @@ def train_multitask(
     steps_per_epoch = max(len(dataset) // cfg.data.batch_size, 1)
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = _input_stream(dataset, mesh, cfg, start_epoch)
-    stop = _GracefulStop().install()
+    stop = _GracefulStop().install(cfg.train.max_hours)
     try:
         for i, item in enumerate(it):
-            if stop.stop or (max_iterations is not None and i >= max_iterations):
+            if stop.stop or (i > 0 and stop.expired()) or (max_iterations is not None and i >= max_iterations):
                 break
             if adapt:
                 state, metrics = full_step(state, item[0], item[1])
@@ -396,10 +411,10 @@ def train_adapt(
     steps_per_epoch = max(len(zipped) // cfg.data.batch_size, 1)
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = _input_stream(zipped, mesh, cfg, start_epoch)
-    stop = _GracefulStop().install()
+    stop = _GracefulStop().install(cfg.train.max_hours)
     try:
         for i, (src_raw, tgt_raw) in enumerate(it):
-            if stop.stop or (max_iterations is not None and i >= max_iterations):
+            if stop.stop or (i > 0 and stop.expired()) or (max_iterations is not None and i >= max_iterations):
                 break
             state, metrics = full_step(state, src_raw, tgt_raw)
             timer.tick(cfg.data.batch_size)

@@ -173,3 +173,13 @@ def test_sigterm_writes_final_checkpoint_and_exits(tmp_path):
 
     restored, rcfg = load_checkpoint(str(tmp_path / "run" / "last"))
     assert int(np.asarray(restored.step)) == 4
+
+
+def test_max_hours_budget_stops_gracefully(tmp_path):
+    """--max_hours: a tiny wall-clock budget stops the run after the first
+    iteration via the graceful path — final checkpoint written, resumable."""
+    cfg = _cfg(tmp_path, epochs=50, max_hours=1e-7)  # ~0.4 ms budget
+    state = train_source(cfg)
+    assert 1 <= int(np.asarray(state.step)) < 100
+    restored, _ = load_checkpoint(str(tmp_path / "run" / "last"))
+    assert int(np.asarray(restored.step)) == int(np.asarray(state.step))
