@@ -34,8 +34,12 @@ def make_serve_fn(
     average_classifiers: bool = True,
     out_shape: Optional[Tuple[int, int]] = None,
     with_probs: bool = False,
+    with_depth: bool = False,
 ):
-    """Build ``serve(batch) -> pred[, probs]`` with params closed over.
+    """Build ``serve(batch) -> pred[, depth][, probs]`` with params closed
+    over. ``with_depth`` (multitask checkpoints — a 'D' subtree in params)
+    additionally returns the aux head's metric depth map [B,H,W] float32 —
+    the full RGB-D product of the paper's multitask variant in one call.
 
     ``batch``: {'image': uint8 [B,h,w,3]} plus 'depth' (float32 meters or
     uint16-wire) when the checkpoint's input_ch needs HHA/depth channels —
@@ -58,6 +62,14 @@ def make_serve_fn(
         tw, th = cfg.data.test_img_shape
         out_shape = (th, tw)
     infer = make_infer_fn(cfg, average_classifiers, out_shape)
+    d_head = None
+    if with_depth:
+        if "D" not in params:
+            raise ValueError("with_depth needs a multitask checkpoint "
+                             "(no 'D' depth-head subtree in params)")
+        from mcseg_tpu.models.heads import DepthRegressor
+
+        d_head = DepthRegressor(upsample=cfg.model.upsample)
 
     def serve(batch):
         if "image" not in batch:
@@ -79,11 +91,19 @@ def make_serve_fn(
         # eval preprocess wants a label plane; feed a dummy and drop it
         # (DCE'd from the exported graph — nothing consumes it)
         dummy = jnp.zeros(batch["image"].shape[:3], jnp.uint8)
-        logits, _, _ = infer(params, batch_stats, {**batch, "label": dummy})
+        logits, _, feat = infer(params, batch_stats, {**batch, "label": dummy})
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        out = [pred]
+        if d_head is not None:
+            d = d_head.apply({"params": params["D"]}, feat, False)
+            if d.shape[1:3] != pred.shape[1:3]:
+                from mcseg_tpu.ops.upsample import upsample_matmul
+
+                d = upsample_matmul(d, pred.shape[1], pred.shape[2], "resize")
+            out.append(d[..., 0].astype(jnp.float32))
         if with_probs:
-            return pred, jax.nn.softmax(logits, axis=-1)
-        return pred
+            out.append(jax.nn.softmax(logits, axis=-1))
+        return out[0] if len(out) == 1 else tuple(out)
 
     return serve
 
@@ -99,6 +119,7 @@ def export_serving(
     out_shape: Optional[Tuple[int, int]] = None,
     with_probs: bool = False,
     extra_plane: Optional[str] = None,
+    with_depth: Optional[bool] = None,
 ) -> dict:
     """Export the inference path to ``out_path`` (+ a ``.json`` manifest).
 
@@ -120,8 +141,12 @@ def export_serving(
 
     from mcseg_tpu.data.datasets import get_dataset
 
+    # multitask checkpoints serve their aux depth map too by default —
+    # the paper's RGB-D product in one artifact (with_depth=False opts out)
+    if with_depth is None:
+        with_depth = "D" in params
     serve = make_serve_fn(cfg, params, batch_stats, average_classifiers,
-                          out_shape, with_probs)
+                          out_shape, with_probs, with_depth=with_depth)
     # input spec: the decode geometry of the checkpoint's target corpus —
     # but the corpus need not exist on the exporting host (checkpoints
     # embed the training host's data_root); fall back to test_img_shape
@@ -191,8 +216,12 @@ def export_serving(
                        for k, v in spec.items()},
         "output": "int32 train-id map [B,{},{}]".format(*(
             out_shape or (cfg.data.test_img_shape[1],
-                          cfg.data.test_img_shape[0]))) + (
-            " + float32 softmax probs" if with_probs else ""),
+                          cfg.data.test_img_shape[0])))
+        + (" + float32 depth meters" if with_depth else "")
+        + (" + float32 softmax probs" if with_probs else ""),
+        # ordered names of the artifact's outputs — hosts parse tuples by this
+        "outputs": (["pred"] + (["depth"] if with_depth else [])
+                    + (["probs"] if with_probs else [])),
         "n_class": cfg.model.n_class,
         "net": cfg.model.net,
         "input_ch": cfg.model.input_ch,

@@ -43,6 +43,9 @@ def main(argv=None):
                    choices=("depth", "hha", "ir"),
                    help="non-RGB input plane kind (default: resolved from "
                         "the checkpoint config — must match training)")
+    p.add_argument("--no_depth_head", action="store_true",
+                   help="multitask checkpoints serve their aux metric-depth "
+                        "map by default; this opts out (pred only)")
     args = p.parse_args(argv)
 
     from mcseg_tpu.eval.serving import export_serving
@@ -58,6 +61,7 @@ def main(argv=None):
         out_shape=tuple(args.out_shape) if args.out_shape else None,
         with_probs=args.with_probs,
         extra_plane=args.extra_plane,
+        with_depth=False if args.no_depth_head else None,
     )
     print(f"wrote {args.out} ({manifest['bytes']} bytes) "
           f"platforms={manifest['platforms']} "

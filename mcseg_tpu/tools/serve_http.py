@@ -84,7 +84,7 @@ class _Model:
         self.spec = self.manifest["input_spec"]
         self.batch = self.spec[next(iter(self.spec))]["shape"][0]
 
-    def predict(self, planes: dict) -> np.ndarray:
+    def predict(self, planes: dict) -> dict:
         batch = {}
         for key, meta in self.spec.items():
             if key not in planes:
@@ -96,8 +96,10 @@ class _Model:
             arr = np.asarray(arr, dtype=np.dtype(meta["dtype"]))
             batch[key] = np.broadcast_to(arr, tuple(shape)).copy()
         out = self.call(batch)
-        pred = out[0] if isinstance(out, (tuple, list)) else out
-        return np.asarray(pred)[0]
+        if not isinstance(out, (tuple, list)):
+            out = (out,)
+        names = self.manifest.get("outputs", ["pred"])
+        return {name: np.asarray(o)[0] for name, o in zip(names, out)}
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -124,17 +126,25 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             planes = json.loads(self.rfile.read(n))
-            pred = self.model.predict(planes)
+            outs = self.model.predict(planes)
+            pred = outs["pred"]
             from PIL import Image
 
             buf = io.BytesIO()
             Image.fromarray(pred.astype(np.uint8)).save(buf, format="PNG")
             ids, counts = np.unique(pred, return_counts=True)
-            self._send(200, {
+            payload = {
                 "pred_png": base64.b64encode(buf.getvalue()).decode(),
                 "shape": list(pred.shape),
                 "classes": {int(i): int(c) for i, c in zip(ids, counts)},
-            })
+            }
+            if "depth" in outs:  # multitask artifacts: metric depth, mm PNG
+                dmm = np.clip(outs["depth"] * 1000.0, 0, 65535).astype(np.uint16)
+                dbuf = io.BytesIO()
+                Image.fromarray(dmm).save(dbuf, format="PNG")
+                payload["depth_mm_png"] = base64.b64encode(
+                    dbuf.getvalue()).decode()
+            self._send(200, payload)
         except (KeyError, ValueError, json.JSONDecodeError, OSError) as e:
             # OSError covers PIL's UnidentifiedImageError on corrupt bytes —
             # the client must get the documented JSON 400, never a dropped

@@ -322,3 +322,67 @@ def test_http_serving_corrupt_image_gets_400(tmp_path):
         assert "error" in json.loads(e.value.read())
     finally:
         srv.shutdown()
+
+
+def test_export_multitask_serves_depth_head(tmp_path):
+    """A multitask checkpoint ('D' subtree) exports pred + metric depth by
+    default; the HTTP host ships the depth as a millimeter PNG."""
+    import base64
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from mcseg_tpu.core.config import DataConfig, ExperimentConfig
+    from mcseg_tpu.tools.serve_http import make_server
+    from mcseg_tpu.train.multitask import init_multitask_state
+
+    mcfg = ModelConfig(net="drn_d_22", input_ch=3, n_class=6, dtype="float32")
+    tcfg = TrainConfig()
+    state, *_ = init_multitask_state(mcfg, tcfg, jax.random.key(0),
+                                     img_shape=(32, 32))
+    cfg = ExperimentConfig(
+        model=mcfg,
+        data=DataConfig(src_dataset="synthetic", tgt_dataset="synthetic",
+                        batch_size=1, train_img_shape=(32, 32),
+                        test_img_shape=(32, 32), input_ch=3),
+        train=tcfg,
+    )
+    path = str(tmp_path / "mt.shlo")
+    m = export_serving(cfg, state.params, state.batch_stats, path,
+                       batch=1, platforms=("cpu",))
+    assert m["outputs"] == ["pred", "depth"]
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (1, 32, 32, 3)).astype(np.uint8)
+    pred, depth = load_serving(path)({"image": img})
+    assert np.asarray(pred).shape == (1, 32, 32)
+    d = np.asarray(depth)
+    assert d.shape == (1, 32, 32) and d.dtype == np.float32
+
+    # pred-only opt-out
+    m2 = export_serving(cfg, state.params, state.batch_stats,
+                        str(tmp_path / "mt2.shlo"), batch=1,
+                        platforms=("cpu",), with_depth=False)
+    assert m2["outputs"] == ["pred"]
+
+    # HTTP host attaches the millimeter depth PNG
+    srv = make_server(path, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(img[0]).save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_address[1]}/predict",
+            data=_json.dumps(
+                {"image": base64.b64encode(buf.getvalue()).decode()}).encode(),
+            headers={"Content-Type": "application/json"})
+        resp = _json.loads(urllib.request.urlopen(req).read())
+        dmm = np.asarray(Image.open(
+            io.BytesIO(base64.b64decode(resp["depth_mm_png"]))))
+        assert dmm.shape == (32, 32) and dmm.dtype == np.uint16
+        np.testing.assert_allclose(
+            dmm, np.clip(d[0] * 1000.0, 0, 65535).astype(np.uint16))
+    finally:
+        srv.shutdown()
