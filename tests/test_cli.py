@@ -145,3 +145,37 @@ def test_make_result_sheet_tool(tmp_path):
     assert len(outs) == 2
     sheet = np.asarray(Image.open(tmp_path / "out" / outs[0]))
     assert sheet.shape[1] >= 48 * 3  # input | GT | pred side by side
+
+
+def test_summarize_run_tool(tmp_path):
+    """tools/summarize_run: run dir (args.json + train_log.jsonl +
+    checkpoints) -> compact report with loss trajectory, eval history,
+    and the resume hint."""
+    import json
+
+    from mcseg_tpu.tools.summarize_run import main
+
+    run = tmp_path / "run"
+    run.mkdir()
+    (run / "args.json").write_text(json.dumps({
+        "model": {"net": "drn_d_22", "input_ch": 3, "n_class": 5,
+                  "fusion": "single"},
+        "data": {"src_dataset": "synthetic", "tgt_dataset": "synthetic",
+                 "train_img_shape": [64, 48], "batch_size": 8},
+        "train": {"opt": "sgd", "lr": 0.01, "num_k": 2, "epochs": 2},
+    }))
+    rows = [
+        {"step": 0, "loss_source": 7.9, "lr": 0.01, "img_per_sec": 0.0},
+        {"step": 1, "loss_source": 5.2, "lr": 0.01, "img_per_sec": 30.0},
+        {"epoch": 1, "val_miou": 41.5},
+        {"step": 2, "loss_source": 4.1, "lr": 0.0099, "img_per_sec": 31.0},
+        {"epoch": 2, "val_miou": 55.25},
+    ]
+    (run / "train_log.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n")
+    (run / "last.msgpack").write_bytes(b"x" * 100)
+    report = main([str(run)])
+    assert "net=drn_d_22" in report
+    assert "first=7.9" in report and "last=4.1" in report
+    assert "ep1:41.50  ep2:55.25" in report
+    assert f"--resume {run}/last" in report
