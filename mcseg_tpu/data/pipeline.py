@@ -159,6 +159,20 @@ def device_prefetch(host_iter: Iterator, mesh, depth: int = 2,
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     err: list = []
+    closed = threading.Event()
+
+    def _put(x) -> bool:
+        # bounded put that notices consumer abandonment: a loop that breaks
+        # early (graceful stop, max_iterations) GC's this generator, and the
+        # worker must exit instead of blocking on a full queue forever
+        # (thread + decode-executor leak in long-lived processes)
+        while not closed.is_set():
+            try:
+                q.put(x, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
@@ -169,22 +183,27 @@ def device_prefetch(host_iter: Iterator, mesh, depth: int = 2,
                             wire_format(b, drop_label=(i == 1))
                             for i, b in enumerate(item)
                         )
-                    q.put(tuple(shard_batch(mesh, b) for b in item))
+                    if not _put(tuple(shard_batch(mesh, b) for b in item)):
+                        return
                 else:
                     if compact_wire:
                         item = wire_format(item)
-                    q.put(shard_batch(mesh, item))
+                    if not _put(shard_batch(mesh, item)):
+                        return
         except Exception as e:  # pragma: no cover
             err.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        closed.set()

@@ -142,3 +142,29 @@ def test_stage_corpus_rejects_inconsistent_planes():
     mesh = make_mesh(1)
     with pytest.raises(ValueError, match="inconsistent planes"):
         stage_corpus(Inconsistent(), mesh, chunk=2)
+
+
+def test_device_prefetch_worker_exits_on_abandoned_iterator():
+    """A consumer that breaks early (graceful stop, max_iterations) must not
+    leak a worker thread blocked on a full queue."""
+    import threading
+    import time
+
+    cfg = DataConfig(src_dataset="synthetic", tgt_dataset="synthetic",
+                     batch_size=2, train_img_shape=(16, 16), input_ch=3,
+                     max_samples=8)
+    ds = SyntheticDataset(cfg, "train")
+    mesh = make_mesh(1)
+    before = {t.name for t in threading.enumerate()}
+    it = device_prefetch(batch_iterator(ds, 2, epochs=None), mesh, depth=1)
+    next(it)  # start the worker, consume one batch
+    it.close()  # abandon mid-stream (what a broken-out-of loop does via GC)
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.name not in before and t.is_alive()
+                  and "decode" not in t.name]
+        if not leaked:
+            break
+        time.sleep(0.1)
+    assert not leaked, f"prefetch worker leaked: {leaked}"
