@@ -179,3 +179,22 @@ def test_summarize_run_tool(tmp_path):
     assert "first=7.9" in report and "last=4.1" in report
     assert "ep1:41.50  ep2:55.25" in report
     assert f"--resume {run}/last" in report
+
+
+def test_console_script_targets_resolve():
+    """Every [project.scripts] entry in pyproject.toml must point at an
+    importable module with a callable main."""
+    import importlib
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml")) as f:
+        body = f.read()
+    block = re.search(r"\[project\.scripts\]\n((?:[^\[\n][^\n]*\n)+)", body)
+    assert block, "no [project.scripts] section"
+    entries = re.findall(r'^[\w-]+ = "([\w.]+):(\w+)"', block.group(1), re.M)
+    assert len(entries) >= 10
+    for module, attr in entries:
+        m = importlib.import_module(module)
+        assert callable(getattr(m, attr)), f"{module}:{attr}"
