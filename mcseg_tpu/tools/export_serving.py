@@ -28,8 +28,10 @@ def main(argv=None):
         "export_serving", description="AOT-export a checkpoint for serving")
     p.add_argument("checkpoint", help="checkpoint prefix (without .msgpack)")
     p.add_argument("--out", required=True, help="artifact output path")
-    p.add_argument("--batch", type=int, default=1,
-                   help="static batch size of the exported graph")
+    p.add_argument("--batch", default="1",
+                   help="static batch size of the exported graph; a comma "
+                        "list (e.g. 1,8,32) writes one artifact per size "
+                        "(<out>.b<N>) for a bucketing server")
     p.add_argument("--platforms", default="tpu,cpu",
                    help="comma-separated lowering platforms")
     p.add_argument("--out_shape", type=int, nargs=2, default=None,
@@ -52,21 +54,27 @@ def main(argv=None):
     from mcseg_tpu.utils.checkpoint import load_checkpoint
 
     state, cfg = load_checkpoint(args.checkpoint)
-    manifest = export_serving(
-        cfg, state.params, state.batch_stats, args.out,
-        batch=args.batch,
-        platforms=tuple(s.strip() for s in args.platforms.split(",")
-                        if s.strip()),
-        average_classifiers=not args.f1_only,
-        out_shape=tuple(args.out_shape) if args.out_shape else None,
-        with_probs=args.with_probs,
-        extra_plane=args.extra_plane,
-        with_depth=False if args.no_depth_head else None,
-    )
-    print(f"wrote {args.out} ({manifest['bytes']} bytes) "
-          f"platforms={manifest['platforms']} "
-          f"input={manifest['input_spec']} -> {manifest['output']}")
-    return manifest
+    batches = [int(s) for s in str(args.batch).split(",") if s.strip()]
+    manifests = []
+    for b in batches:
+        # one artifact per size: a bucketing server picks by request batch
+        out = args.out if len(batches) == 1 else f"{args.out}.b{b}"
+        manifest = export_serving(
+            cfg, state.params, state.batch_stats, out,
+            batch=b,
+            platforms=tuple(s.strip() for s in args.platforms.split(",")
+                            if s.strip()),
+            average_classifiers=not args.f1_only,
+            out_shape=tuple(args.out_shape) if args.out_shape else None,
+            with_probs=args.with_probs,
+            extra_plane=args.extra_plane,
+            with_depth=False if args.no_depth_head else None,
+        )
+        print(f"wrote {out} ({manifest['bytes']} bytes) "
+              f"platforms={manifest['platforms']} "
+              f"input={manifest['input_spec']} -> {manifest['output']}")
+        manifests.append(manifest)
+    return manifests[0] if len(manifests) == 1 else manifests
 
 
 if __name__ == "__main__":

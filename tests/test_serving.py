@@ -386,3 +386,22 @@ def test_export_multitask_serves_depth_head(tmp_path):
             dmm, np.clip(d[0] * 1000.0, 0, 65535).astype(np.uint16))
     finally:
         srv.shutdown()
+
+
+@pytest.mark.slow
+def test_export_cli_bucketed_batches(tmp_path):
+    """--batch 1,2 writes one artifact per size, each independently loadable
+    at its own static batch."""
+    from mcseg_tpu.tools.export_serving import main as export_main
+    from mcseg_tpu.utils.checkpoint import save_checkpoint
+
+    cfg, state = _setup()
+    save_checkpoint(str(tmp_path / "ck"), state, cfg)
+    out = str(tmp_path / "m.shlo")
+    manifests = export_main([str(tmp_path / "ck"), "--out", out,
+                             "--batch", "1,2", "--platforms", "cpu"])
+    assert [m["input_spec"]["image"]["shape"][0] for m in manifests] == [1, 2]
+    for b in (1, 2):
+        pred = load_serving(f"{out}.b{b}")(
+            {"image": np.zeros((b, 32, 32, 3), np.uint8)})
+        assert np.asarray(pred).shape == (b, 32, 32)
