@@ -219,7 +219,7 @@ def test_multitask_eval_every_epochs_hook(tmp_path, capsys):
         "--eval_every_epochs", "1", "--out_dir", str(tmp_path / "run"),
     ])
     out = capsys.readouterr().out
-    assert "val_mIoU=" in out
+    assert "val_miou=" in out
 
 
 # ---------------------------------------------------------------------------
