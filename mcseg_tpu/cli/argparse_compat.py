@@ -50,6 +50,9 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max_hours", type=float, default=0.0,
                    help="wall-clock budget; exceeded -> graceful stop with a "
                         "final resumable checkpoint (0 = unbounded)")
+    p.add_argument("--keep_checkpoints", type=int, default=0,
+                   help="retain only the newest N epoch checkpoints "
+                        "(0 = keep all; 'last' is never pruned)")
     p.add_argument("--eval_every_epochs", type=int, default=0,
                    help="run mesh-sharded val mIoU at epoch ends (0 = off)")
 
@@ -190,5 +193,6 @@ def args_to_config(args: argparse.Namespace, adapt: bool) -> ExperimentConfig:
         log_every=args.log_every,
         checkpoint_every_epochs=getattr(args, "checkpoint_every_epochs", 1),
         max_hours=getattr(args, "max_hours", 0.0),
+        keep_checkpoints=getattr(args, "keep_checkpoints", 0),
     )
     return ExperimentConfig(model=model, data=data, train=train)

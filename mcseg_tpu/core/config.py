@@ -135,6 +135,10 @@ class TrainConfig:
     # exits through the same graceful path as SIGTERM — final `last`
     # checkpoint written, resumable with --resume (batch-scheduler contract)
     max_hours: float = 0.0
+    # retention: keep only the newest N epoch checkpoints (epN.*), pruning
+    # older ones after each save; 0 = keep all (reference behavior — one
+    # checkpoint per epoch forever). `last` is never pruned.
+    keep_checkpoints: int = 0
 
     def to_dict(self):
         return _asdict(self)

@@ -30,7 +30,11 @@ from mcseg_tpu.parallel.mesh import make_mesh, replicate
 from mcseg_tpu.train.mcd import make_mcd_step
 from mcseg_tpu.train.source import make_source_step
 from mcseg_tpu.train.state import create_train_state
-from mcseg_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from mcseg_tpu.utils.checkpoint import (
+    load_checkpoint,
+    prune_epoch_checkpoints,
+    save_checkpoint,
+)
 from mcseg_tpu.utils.logging import JsonlLogger, StepTimer
 from mcseg_tpu.utils.util import mkdir_if_not_exist
 
@@ -213,6 +217,7 @@ def train_source(
                 if (cfg.train.checkpoint_every_epochs > 0
                         and epoch % cfg.train.checkpoint_every_epochs == 0):
                     save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
+                    prune_epoch_checkpoints(out_dir, cfg.train.keep_checkpoints)
                 if on_epoch_end:
                     on_epoch_end(epoch, state)
     finally:
@@ -358,6 +363,7 @@ def train_multitask(
                 if (cfg.train.checkpoint_every_epochs > 0
                         and epoch % cfg.train.checkpoint_every_epochs == 0):
                     save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
+                    prune_epoch_checkpoints(out_dir, cfg.train.keep_checkpoints)
                 if on_epoch_end:
                     on_epoch_end(epoch, state)
     finally:
@@ -428,6 +434,7 @@ def train_adapt(
                 if (cfg.train.checkpoint_every_epochs > 0
                         and epoch % cfg.train.checkpoint_every_epochs == 0):
                     save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
+                    prune_epoch_checkpoints(out_dir, cfg.train.keep_checkpoints)
                 if on_epoch_end:
                     on_epoch_end(epoch, state)
     finally:

@@ -63,6 +63,35 @@ def save_checkpoint(prefix: str, state: MCDTrainState, config: ExperimentConfig)
     return path
 
 
+def prune_epoch_checkpoints(out_dir: str, keep: int) -> list:
+    """Delete all but the newest ``keep`` epoch checkpoints (``epN.msgpack``
+    + config sidecars) in ``out_dir``. ``last`` is never touched; ``keep <=
+    0`` is a no-op (reference behavior: every epoch kept). Returns the
+    pruned prefixes. Called by the training loops after each epoch save when
+    TrainConfig.keep_checkpoints is set — a 100-epoch DRN-D-38 run otherwise
+    accumulates ~20 GB of epoch checkpoints."""
+    if keep <= 0:
+        return []
+    import glob
+    import re
+
+    eps = []
+    for p in glob.glob(os.path.join(out_dir, "ep*.msgpack")):
+        m = re.fullmatch(r"ep(\d+)\.msgpack", os.path.basename(p))
+        if m:
+            eps.append((int(m.group(1)), p[: -len(".msgpack")]))
+    eps.sort()
+    pruned = []
+    for _, prefix in eps[:-keep]:
+        for suffix in (".msgpack", ".config.json"):
+            try:
+                os.remove(prefix + suffix)
+            except FileNotFoundError:
+                pass
+        pruned.append(prefix)
+    return pruned
+
+
 def load_checkpoint(
     prefix: str, config: Optional[ExperimentConfig] = None
 ) -> Tuple[MCDTrainState, ExperimentConfig]:

@@ -1,6 +1,7 @@
 """Checkpoint round-trip: params/opt/rng/step restore exactly; the model is
 rebuilt FROM THE EMBEDDED CONFIG (the reference's args-in-checkpoint public
 surface, SURVEY.md section 5)."""
+import os
 
 import jax
 import jax.numpy as jnp
@@ -125,3 +126,44 @@ def test_resume_config_drift_raises(tmp_path):
     )
     restored, _, _ = _init_or_resume(ok)
     _trees_equal(restored.params, state.params)
+
+
+def test_prune_epoch_checkpoints(tmp_path):
+    """Retention: only the newest N epN checkpoints survive; 'last' and a
+    keep<=0 no-op are untouched; numeric (not lexicographic) ordering."""
+    from mcseg_tpu.utils.checkpoint import prune_epoch_checkpoints
+
+    for name in ("ep2", "ep9", "ep10", "ep11", "last"):
+        (tmp_path / f"{name}.msgpack").write_bytes(b"x")
+        (tmp_path / f"{name}.config.json").write_text("{}")
+    assert prune_epoch_checkpoints(str(tmp_path), 0) == []
+    pruned = prune_epoch_checkpoints(str(tmp_path), 2)
+    assert [os.path.basename(p) for p in pruned] == ["ep2", "ep9"]
+    left = sorted(p.name for p in tmp_path.glob("*.msgpack"))
+    assert left == ["ep10.msgpack", "ep11.msgpack", "last.msgpack"]
+    assert not (tmp_path / "ep2.config.json").exists()
+
+
+def test_keep_checkpoints_in_train_loop(tmp_path):
+    """--keep_checkpoints through a real train loop: old epoch checkpoints
+    are pruned as training advances."""
+    import jax
+
+    from mcseg_tpu.core.config import (
+        DataConfig, ExperimentConfig, ModelConfig, TrainConfig)
+    from mcseg_tpu.train.loops import train_source
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(net="drn_d_22", input_ch=3, n_class=5,
+                          dtype="float32"),
+        data=DataConfig(src_dataset="synthetic", tgt_dataset="synthetic",
+                        batch_size=8, train_img_shape=(32, 32),
+                        test_img_shape=(32, 32), input_ch=3, max_samples=16),
+        train=TrainConfig(lr=0.01, lr_schedule="constant", epochs=4,
+                          log_every=10, out_dir=str(tmp_path / "run"),
+                          keep_checkpoints=2, max_steps=100),
+    )
+    train_source(cfg)
+    eps = sorted(p.name for p in (tmp_path / "run").glob("ep*.msgpack"))
+    assert eps == ["ep3.msgpack", "ep4.msgpack"]
+    assert (tmp_path / "run" / "last.msgpack").exists()
