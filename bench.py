@@ -144,7 +144,11 @@ def main():
     num_k = 4
     steps = 20 if on_tpu else 2
 
-    model_cfg = ModelConfig(net="drn_d_38", input_ch=6, n_class=40, dtype="bfloat16")
+    # BENCH_FUSION=late measures BASELINE config 5's dual-branch score
+    # fusion (two G/F stacks) instead of the default early fusion.
+    fusion = os.environ.get("BENCH_FUSION", "single")
+    model_cfg = ModelConfig(net="drn_d_38", input_ch=6, n_class=40,
+                            dtype="bfloat16", fusion=fusion)
     data_cfg = DataConfig(
         src_dataset="suncg", tgt_dataset="nyu", batch_size=b,
         train_img_shape=(w, h), input_ch=6, num_workers=4,
@@ -278,7 +282,8 @@ def main():
     peak = _peak_flops(jax.devices()[0])
     mfu = (flops_per_step * steps / dt_dev / (peak * n_chips)) if peak else None
     print(json.dumps({
-        "metric": f"mcd_train_images_per_sec_per_chip_{w}x{h}_rgbhha",
+        "metric": (f"mcd_train_images_per_sec_per_chip_{w}x{h}_rgbhha"
+                   + ("_latefusion" if fusion == "late" else "")),
         "value": round(dev_per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(dev_per_chip / REFERENCE_PROXY_IMG_PER_SEC_PER_CHIP, 3),
