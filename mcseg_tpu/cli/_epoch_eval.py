@@ -36,7 +36,12 @@ def make_epoch_eval_hook(cfg, mesh, every: int, logger=None) -> Optional[callabl
                                            with_boundary="B" in state.params)
         miou, _, _ = evaluate(state, cfg, dataset, print_table=False,
                               mesh=mesh, eval_step=cache["step"])
-        line = {"epoch": epoch, "val_miou": round(100.0 * float(miou), 3)}
+        import jax
+
+        # carry the global step so the TensorBoard scalar lands on the
+        # training x-axis instead of piling up at step 0
+        line = {"step": int(jax.device_get(state.step)), "epoch": epoch,
+                "val_miou": round(100.0 * float(miou), 3)}
         if logger is not None:
             logger.log(line)
         else:

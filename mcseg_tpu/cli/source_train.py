@@ -17,14 +17,11 @@ def main(argv=None):
     mkdir_if_not_exist(cfg.train.out_dir)
     save_dic_to_json(cfg.to_dict(), f"{cfg.train.out_dir}/args.json")
     from mcseg_tpu.cli._epoch_eval import make_epoch_eval_hook
-    from mcseg_tpu.utils.logging import JsonlLogger
+    from mcseg_tpu.utils.logging import make_run_logger
     from mcseg_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh()
-    logger = JsonlLogger(
-        path=f"{cfg.train.out_dir}/train_log.jsonl",
-        tb_dir=cfg.train.tb_dir or None,
-    )
+    logger = make_run_logger(cfg.train)
     hook = make_epoch_eval_hook(cfg, mesh, args.eval_every_epochs,
                                 logger=logger)
     train_source(cfg, mesh=mesh, logger=logger, on_epoch_end=hook)

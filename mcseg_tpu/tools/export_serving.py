@@ -54,7 +54,13 @@ def main(argv=None):
     from mcseg_tpu.utils.checkpoint import load_checkpoint
 
     state, cfg = load_checkpoint(args.checkpoint)
-    batches = [int(s) for s in str(args.batch).split(",") if s.strip()]
+    try:
+        batches = [int(s) for s in str(args.batch).split(",") if s.strip()]
+    except ValueError:
+        p.error(f"--batch must be an int or comma list of ints, got "
+                f"{args.batch!r}")
+    if not batches:
+        p.error(f"--batch parsed to no sizes: {args.batch!r}")
     manifests = []
     for b in batches:
         # one artifact per size: a bucketing server picks by request batch

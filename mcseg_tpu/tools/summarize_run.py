@@ -19,12 +19,19 @@ import os
 
 
 def load_jsonl(path: str):
+    """Parse a JSONL log, tolerating a torn trailing line — a run killed
+    mid-write (OOM, hard preemption) is exactly the run this tool
+    post-mortems, and it must still print the --resume hint."""
     rows = []
     with open(path) as f:
-        for line in f:
+        for ln, line in enumerate(f, 1):
             line = line.strip()
-            if line:
+            if not line:
+                continue
+            try:
                 rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                print(f"  (skipping unparseable log line {ln} — torn write?)")
     return rows
 
 
@@ -48,7 +55,7 @@ def summarize(run_dir: str) -> str:
     log_path = os.path.join(run_dir, "train_log.jsonl")
     if os.path.exists(log_path):
         rows = load_jsonl(log_path)
-        steps = [r for r in rows if "step" in r]
+        steps = [r for r in rows if "step" in r and "val_miou" not in r]
         evals = [r for r in rows if "val_miou" in r]
         if steps:
             out.append(f"steps logged: {len(steps)} "

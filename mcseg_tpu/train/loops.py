@@ -35,7 +35,7 @@ from mcseg_tpu.utils.checkpoint import (
     prune_epoch_checkpoints,
     save_checkpoint,
 )
-from mcseg_tpu.utils.logging import JsonlLogger, StepTimer
+from mcseg_tpu.utils.logging import JsonlLogger, StepTimer, make_run_logger
 from mcseg_tpu.utils.util import mkdir_if_not_exist
 
 
@@ -175,10 +175,7 @@ def train_source(
     """Supervised source-only training (reference source_trainer.py)."""
     mesh = mesh or make_mesh()
     out_dir = mkdir_if_not_exist(cfg.train.out_dir)
-    logger = logger or JsonlLogger(
-        path=os.path.join(out_dir, "train_log.jsonl"),
-        tb_dir=cfg.train.tb_dir or None,
-    )
+    logger = logger or make_run_logger(cfg.train)
 
     dataset = get_dataset(cfg.data.src_dataset, cfg.data, cfg.data.split)
     state, tx_g, tx_f = _init_or_resume(cfg)
@@ -266,10 +263,7 @@ def train_multitask(
 
     mesh = mesh or make_mesh()
     out_dir = mkdir_if_not_exist(cfg.train.out_dir)
-    logger = logger or JsonlLogger(
-        path=os.path.join(out_dir, "train_log.jsonl"),
-        tb_dir=cfg.train.tb_dir or None,
-    )
+    logger = logger or make_run_logger(cfg.train)
     tw, th = cfg.data.train_img_shape
 
     if cfg.train.resume:
@@ -383,10 +377,7 @@ def train_adapt(
     (source, target) batches through the fused A/B/C step."""
     mesh = mesh or make_mesh()
     out_dir = mkdir_if_not_exist(cfg.train.out_dir)
-    logger = logger or JsonlLogger(
-        path=os.path.join(out_dir, "train_log.jsonl"),
-        tb_dir=cfg.train.tb_dir or None,
-    )
+    logger = logger or make_run_logger(cfg.train)
 
     src = get_dataset(cfg.data.src_dataset, cfg.data, cfg.data.split)
     tgt = get_dataset(cfg.data.tgt_dataset, cfg.data, cfg.data.split)

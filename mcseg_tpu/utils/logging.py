@@ -13,6 +13,17 @@ import time
 from typing import Any, Dict, Optional
 
 
+def make_run_logger(train_cfg) -> "JsonlLogger":
+    """The run-directory logging convention (out_dir/train_log.jsonl +
+    optional TensorBoard), in ONE place — shared by the CLI entry points
+    (which pass the logger to both the loop and the epoch-eval hook) and the
+    loops' fallback, so step logs and eval logs can never split files."""
+    return JsonlLogger(
+        path=os.path.join(train_cfg.out_dir, "train_log.jsonl"),
+        tb_dir=train_cfg.tb_dir or None,
+    )
+
+
 class JsonlLogger:
     """JSONL + stdout, with an optional TensorBoard event stream.
 
