@@ -148,8 +148,9 @@ def main():
     # fusion (two G/F stacks) instead of the default early fusion.
     fusion = os.environ.get("BENCH_FUSION", "single")
     # a typo must not silently rebench the default config under the
-    # standard metric name
-    assert fusion in ("single", "late"), f"BENCH_FUSION must be single|late, got {fusion!r}"
+    # standard metric name (explicit raise: survives `python -O`)
+    if fusion not in ("single", "late"):
+        raise SystemExit(f"BENCH_FUSION must be single|late, got {fusion!r}")
     model_cfg = ModelConfig(net="drn_d_38", input_ch=6, n_class=40,
                             dtype="bfloat16", fusion=fusion)
     data_cfg = DataConfig(

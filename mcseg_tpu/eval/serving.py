@@ -19,6 +19,7 @@ it here — the TPU-native answer to torchscript/ONNX export.
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -206,8 +207,12 @@ def export_serving(
     exported = jax_export.export(jax.jit(serve), platforms=tuple(platforms))(
         spec)
     blob = exported.serialize()
-    with open(out_path, "wb") as f:
+    # tmp + os.replace (the utils/checkpoint.py atomicity contract): a crash
+    # mid-export must never leave a truncated artifact or an artifact/manifest
+    # pair that disagree
+    with open(out_path + ".tmp", "wb") as f:
         f.write(blob)
+    os.replace(out_path + ".tmp", out_path)
     manifest = {
         "format": "jax.export/stablehlo",
         "platforms": list(exported.platforms),
@@ -236,8 +241,9 @@ def export_serving(
             "batchmates — export batch=1 for per-image determinism")
     if plane_note:
         manifest["plane_note"] = plane_note
-    with open(out_path + ".json", "w") as f:
+    with open(out_path + ".json.tmp", "w") as f:
         json.dump(manifest, f, indent=2)
+    os.replace(out_path + ".json.tmp", out_path + ".json")
     return manifest
 
 

@@ -58,16 +58,55 @@ def make_infer_fn(cfg: ExperimentConfig, average_classifiers: bool = True,
     return infer
 
 
+def boundary_match_sums(b_logits, label, tol: int = 2):
+    """Boundary-head scoring sums against label-derived edges.
+
+    Strict per-pixel tp/fp/fn at the 0.5 threshold, PLUS distance-tolerant
+    match sums at radius ``tol`` px (the BSDS/BF-score convention: a predicted
+    boundary pixel counts if a true edge lies within the radius, and a true
+    edge counts as found if a prediction lies within the radius). Strict
+    boundary P/R is near-meaningless at a 1-px phase offset — every standard
+    boundary benchmark scores with a tolerance — so the tolerant numbers are
+    the comparable ones."""
+    from mcseg_tpu.losses.seg import boundary_targets_from_labels
+
+    tgt, valid = boundary_targets_from_labels(label)
+    hit = (b_logits[..., 0] > 0.0) & valid  # sigmoid(x)>0.5 <=> x>0
+    pos = (tgt > 0.5) & valid
+
+    def dilate(mask):  # morphological dilation by tol px
+        k = 2 * tol + 1
+        return jax.lax.reduce_window(
+            mask.astype(jnp.float32), -jnp.inf, jax.lax.max,
+            window_dimensions=(1, k, k), window_strides=(1, 1, 1),
+            padding="SAME") > 0
+
+    return {
+        "tp": (hit & pos).sum(), "fp": (hit & ~pos).sum(),
+        "fn": (~hit & pos).sum(),
+        # tolerant sums: pred pixels with a true edge within the radius
+        # (precision numerator) and true-edge pixels with a prediction
+        # within the radius (recall numerator)
+        "tp_tol_p": (hit & dilate(pos)).sum(), "n_pred": hit.sum(),
+        "tp_tol_r": (pos & dilate(hit)).sum(), "n_gt": pos.sum(),
+    }
+
+
 def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True,
                    return_probs: bool = False, with_depth: bool = False,
-                   with_boundary: bool = False):
+                   with_boundary: bool = False, boundary_tol: int = 2):
     """Build the jit'd (params, batch_stats, raw_batch) -> (hist, preds[, probs])
     step. ``return_probs`` adds the softmax probability maps (the reference's
     --saves_prob option, SURVEY.md section 3.3). ``with_depth`` additionally
     evaluates the multitask depth head (params['D']) against the raw depth in
     the batch, returning valid-pixel-weighted metric sums. ``with_boundary``
     evaluates the boundary head (params['B']) against label-derived edges,
-    returning tp/fp/fn sums at the 0.5 threshold."""
+    returning tp/fp/fn sums at the 0.5 threshold PLUS distance-tolerant
+    match sums at radius ``boundary_tol`` px (the BSDS/BF-score convention:
+    a predicted boundary pixel counts if a true edge lies within the radius,
+    and vice versa — strict per-pixel boundary P/R is near-meaningless at a
+    1-px phase offset, so every standard boundary benchmark scores with a
+    tolerance)."""
     infer = make_infer_fn(cfg, average_classifiers)
     n_class = cfg.model.n_class
     d_head = None
@@ -101,28 +140,21 @@ def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True,
                 d_pred = upsample_matmul(d_pred, gt.shape[1], gt.shape[2], "resize")
             out.append(depth_metric_sums(d_pred, gt))
         if b_head is not None:
-            from mcseg_tpu.losses.seg import boundary_targets_from_labels
-
             b_logits = b_head.apply({"params": params["B"]}, feat, False)
             if label.shape[1:3] != b_logits.shape[1:3]:
                 from mcseg_tpu.ops.upsample import upsample_matmul
 
                 b_logits = upsample_matmul(b_logits, label.shape[1],
                                            label.shape[2], "resize")
-            tgt, valid = boundary_targets_from_labels(label)
-            hit = (b_logits[..., 0] > 0.0) & valid  # sigmoid(x)>0.5 <=> x>0
-            pos = (tgt > 0.5) & valid
-            out.append({
-                "tp": (hit & pos).sum(), "fp": (hit & ~pos).sum(),
-                "fn": (~hit & pos).sum(),
-            })
+            out.append(boundary_match_sums(b_logits, label, boundary_tol))
         return tuple(out)
 
     # The result tuple's layout depends on these flags; evaluate() reads them
     # off a PREBUILT step (the --eval_every_epochs cached-step path) instead
     # of re-inferring from params — a mismatch would misparse the tuple.
     eval_step.flags = {"return_probs": return_probs, "with_depth": with_depth,
-                       "with_boundary": with_boundary}
+                       "with_boundary": with_boundary,
+                       "boundary_tol": boundary_tol}
     return eval_step
 
 
@@ -197,7 +229,9 @@ def evaluate(
     # stays async) and summed host-side in int64 at the end.
     batch_hists = []
     depth_sums = {"n": 0.0, "sse": 0.0, "sabs_rel": 0.0, "sdelta": 0.0}
-    boundary_sums = {"tp": 0.0, "fp": 0.0, "fn": 0.0}
+    boundary_sums = {"tp": 0.0, "fp": 0.0, "fn": 0.0,
+                     "tp_tol_p": 0.0, "n_pred": 0.0,
+                     "tp_tol_r": 0.0, "n_gt": 0.0}
     bs = min(cfg.data.batch_size, len(dataset))
     if mesh is not None:
         from mcseg_tpu.parallel.mesh import replicate, shard_batch
@@ -306,8 +340,15 @@ def evaluate(
         prec = tp / max(tp + fp, 1.0)
         rec = tp / max(tp + fn, 1.0)
         f1_score = 2 * prec * rec / max(prec + rec, 1e-9)
+        # tolerant (BF-score-style) P/R/F1 — the comparable numbers
+        tol = step.flags.get("boundary_tol", 2)
+        prec_t = boundary_sums["tp_tol_p"] / max(boundary_sums["n_pred"], 1.0)
+        rec_t = boundary_sums["tp_tol_r"] / max(boundary_sums["n_gt"], 1.0)
+        f1_t = 2 * prec_t * rec_t / max(prec_t + rec_t, 1e-9)
         table += (
-            f"\nboundary: precision={prec:.4f}  recall={rec:.4f}"
+            f"\nboundary (tol={tol}px): precision={prec_t:.4f}"
+            f"  recall={rec_t:.4f}  f1={f1_t:.4f}"
+            f"\nboundary (strict):  precision={prec:.4f}  recall={rec:.4f}"
             f"  f1={f1_score:.4f}"
         )
     if print_table:

@@ -35,14 +35,29 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
-def _decode_plane(b64: str, kind: str, h: int, w: int) -> np.ndarray:
+def _decode_plane(b64: str, kind: str, h: int, w: int,
+                  allow_resize: bool = False) -> np.ndarray:
     """base64 PNG -> decoded plane at (h, w); native decoder with PIL
-    fallback (same contract as data/datasets.py)."""
+    fallback (same contract as data/datasets.py).
+
+    The manifest advertises an exact input geometry; a client shipping a
+    wrong-size plane gets a ValueError (-> HTTP 400), NOT a silent resize
+    that degrades predictions behind a 200. ``allow_resize`` (the server's
+    --auto_resize flag) restores the lenient behavior explicitly.
+    """
     from PIL import Image
 
     from mcseg_tpu import native
 
     raw = base64.b64decode(b64)
+    # PIL.open is lazy (header-only) — a cheap native-geometry check that
+    # works for both the native-decoder and PIL paths below
+    native_size = Image.open(io.BytesIO(raw)).size  # (w, h)
+    if native_size != (w, h) and not allow_resize:
+        raise ValueError(
+            f"plane {kind!r} is {native_size[0]}x{native_size[1]} but the "
+            f"artifact input spec is {w}x{h}; re-encode at the spec geometry "
+            "or start the server with --auto_resize")
     with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
         f.write(raw)
         path = f.name
@@ -75,7 +90,7 @@ def _decode_plane(b64: str, kind: str, h: int, w: int) -> np.ndarray:
 class _Model:
     """Loaded artifact + manifest; thread-safe (jax dispatch serializes)."""
 
-    def __init__(self, artifact_path: str):
+    def __init__(self, artifact_path: str, allow_resize: bool = False):
         from mcseg_tpu.eval.serving import load_serving
 
         self.call = load_serving(artifact_path)
@@ -83,6 +98,7 @@ class _Model:
             self.manifest = json.load(f)
         self.spec = self.manifest["input_spec"]
         self.batch = self.spec[next(iter(self.spec))]["shape"][0]
+        self.allow_resize = allow_resize
 
     def predict(self, planes: dict) -> dict:
         batch = {}
@@ -92,7 +108,7 @@ class _Model:
                                f"(artifact input spec: {sorted(self.spec)})")
             shape = meta["shape"]  # [B, H, W(, C)]
             h, w = shape[1], shape[2]
-            arr = _decode_plane(planes[key], key, h, w)
+            arr = _decode_plane(planes[key], key, h, w, self.allow_resize)
             arr = np.asarray(arr, dtype=np.dtype(meta["dtype"]))
             batch[key] = np.broadcast_to(arr, tuple(shape)).copy()
         out = self.call(batch)
@@ -104,6 +120,9 @@ class _Model:
 
 class _Handler(BaseHTTPRequestHandler):
     model: _Model = None  # set by serve()
+    # reject oversized (or bogus-Content-Length) bodies BEFORE reading them:
+    # a single huge request must not exhaust host memory on a threaded server
+    max_body: int = 64 * 1024 * 1024
 
     def _send(self, code: int, payload: dict) -> None:
         body = json.dumps(payload).encode()
@@ -125,6 +144,10 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             n = int(self.headers.get("Content-Length", 0))
+            if n > self.max_body:
+                self._send(413, {"error": f"request body {n} bytes exceeds "
+                                          f"the {self.max_body}-byte limit"})
+                return
             planes = json.loads(self.rfile.read(n))
             outs = self.model.predict(planes)
             pred = outs["pred"]
@@ -157,10 +180,14 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
 
-def make_server(artifact: str, host: str = "127.0.0.1", port: int = 8000):
+def make_server(artifact: str, host: str = "127.0.0.1", port: int = 8000,
+                allow_resize: bool = False,
+                max_body: int = _Handler.max_body):
     """Build (but don't start) the server; returns ThreadingHTTPServer.
     Separated from serve() so tests can bind port 0 and run it in a thread."""
-    handler = type("Handler", (_Handler,), {"model": _Model(artifact)})
+    handler = type("Handler", (_Handler,),
+                   {"model": _Model(artifact, allow_resize),
+                    "max_body": max_body})
     return ThreadingHTTPServer((host, port), handler)
 
 
@@ -170,8 +197,15 @@ def main(argv=None):
     p.add_argument("artifact", help="path from tools/export_serving --out")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--auto_resize", action="store_true",
+                   help="resize wrong-geometry client planes to the artifact "
+                        "spec instead of rejecting them with HTTP 400")
+    p.add_argument("--max_body_mb", type=int, default=64,
+                   help="reject request bodies larger than this (HTTP 413)")
     args = p.parse_args(argv)
-    srv = make_server(args.artifact, args.host, args.port)
+    srv = make_server(args.artifact, args.host, args.port,
+                      allow_resize=args.auto_resize,
+                      max_body=args.max_body_mb * 1024 * 1024)
     print(f"serving {args.artifact} on http://{args.host}:{srv.server_address[1]} "
           f"(spec: {sorted(srv.RequestHandlerClass.model.spec)})", flush=True)
     srv.serve_forever()

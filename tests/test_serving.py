@@ -3,6 +3,7 @@ predictions as the live inference path, round-trips through bytes on disk,
 and the CLI writes artifact + manifest."""
 
 import json
+import os
 
 import jax
 import numpy as np
@@ -405,3 +406,98 @@ def test_export_cli_bucketed_batches(tmp_path):
         pred = load_serving(f"{out}.b{b}")(
             {"image": np.zeros((b, 32, 32, 3), np.uint8)})
         assert np.asarray(pred).shape == (b, 32, 32)
+
+
+def test_http_geometry_mismatch_400_and_auto_resize_optin(tmp_path):
+    """A wrong-size client plane gets HTTP 400 (the manifest advertises an
+    exact input spec); --auto_resize restores the lenient resize behavior.
+    An oversized request body is rejected 413 before being read."""
+    import base64
+    import io
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from PIL import Image
+
+    from mcseg_tpu.tools.serve_http import make_server
+
+    cfg, state = _setup(input_ch=3)
+    path = str(tmp_path / "m.shlo")
+    export_serving(cfg, state.params, state.batch_stats, path,
+                   batch=1, platforms=("cpu",))
+
+    rng = np.random.RandomState(3)
+    big = rng.randint(0, 255, (64, 48, 3)).astype(np.uint8)  # != 32x32 spec
+    buf = io.BytesIO()
+    Image.fromarray(big).save(buf, format="PNG")
+    body = _json.dumps(
+        {"image": base64.b64encode(buf.getvalue()).decode()}).encode()
+
+    srv = make_server(path, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/predict"
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+        assert "--auto_resize" in _json.loads(e.value.read())["error"]
+    finally:
+        srv.shutdown()
+
+    # opt-in resize: same request succeeds and returns the spec geometry
+    srv = make_server(path, port=0, allow_resize=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/predict"
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"})
+        resp = _json.loads(urllib.request.urlopen(req).read())
+        assert resp["shape"] == [32, 32]
+    finally:
+        srv.shutdown()
+
+    # bogus/oversized Content-Length -> 413 without reading the body
+    srv = make_server(path, port=0, max_body=1024)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/predict"
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 413
+    finally:
+        srv.shutdown()
+
+
+def test_export_serving_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-export leaves no artifact/manifest at the final paths
+    (tmp + os.replace, the checkpoint atomicity contract)."""
+    import mcseg_tpu.eval.serving as serving_mod
+
+    cfg, state = _setup()
+    path = str(tmp_path / "m.shlo")
+
+    real_replace = os.replace
+    calls = []
+
+    def boom(src, dst):
+        calls.append((src, dst))
+        raise RuntimeError("simulated crash during finalize")
+
+    monkeypatch.setattr(serving_mod.os, "replace", boom)
+    with pytest.raises(RuntimeError):
+        export_serving(cfg, state.params, state.batch_stats, path,
+                       batch=1, platforms=("cpu",))
+    # the final artifact path must not exist (only the .tmp may)
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".json")
+
+    monkeypatch.setattr(serving_mod.os, "replace", real_replace)
+    export_serving(cfg, state.params, state.batch_stats, path,
+                   batch=1, platforms=("cpu",))
+    assert os.path.exists(path) and os.path.exists(path + ".json")

@@ -102,6 +102,96 @@ def test_mcd_one_classifier_keeps_f2_equal_to_f2_init():
         np.testing.assert_allclose(a, np.asarray(b), atol=1e-7)
 
 
+def test_mcd_one_classifier_behaves_like_single_classifier_training():
+    """uses_one_classifier behavioral semantics through a REAL make_mcd_step
+    call (VERDICT r2 #6): the reported discrepancy is exactly 0, and one full
+    A/B/C iteration equals a hand-built mirror step that only ever owns ONE
+    classifier — i.e. training genuinely degrades to source supervision
+    (reference ablation: F1 and F2 are the same module, so the discrepancy
+    term vanishes and only the CE terms train anything)."""
+    from mcseg_tpu.train.apply import apply_classifier, apply_generator
+    from mcseg_tpu.train.state import MCDTrainState
+
+    tcfg = TrainConfig(lr=0.01, num_k=2, momentum=0.9, weight_decay=5e-4,
+                       lr_schedule="constant", max_steps=100)
+    _, _, state, tx_g, tx_f, g, f1, f2 = _setup(
+        train_cfg=tcfg, uses_one_classifier=True)
+    step = jax.jit(make_mcd_step(g, f1, f2, tx_g, tx_f, tcfg,
+                                 uses_one_classifier=True))
+    xs, ys = _batch(0)
+    xt, _ = _batch(1)
+
+    from mcseg_tpu.losses.seg import cross_entropy_2d
+
+    # --- hand-built mirror: a 3-step MCD iteration written with ONLY F1 ----
+    def mirror_step(st: MCDTrainState):
+        rng, ka, kb1, kb2, kc = jax.random.split(st.rng, 5)
+        del kc
+        opt_g, opt_f = st.opt_g, st.opt_f  # constant schedule: lr unchanged
+        zero_f2 = jax.tree.map(jnp.zeros_like, st.params["F2"])
+
+        # STEP A: the single classifier sees the features twice -> 2*CE
+        def loss_a(params):
+            feat, sg = apply_generator(
+                g, params["G"], st.batch_stats["G"], xs, True, ka)
+            o1 = apply_classifier(f1, params["F1"], feat, True)
+            return 2.0 * cross_entropy_2d(o1, ys), sg
+
+        (_, sg), grads = jax.value_and_grad(loss_a, has_aux=True)(st.params)
+        up_g, opt_g = tx_g.update(grads["G"], opt_g, st.params["G"])
+        pg = optax.apply_updates(st.params["G"], up_g)
+        pf = {"F1": st.params["F1"], "F2": st.params["F2"]}
+        up_f, opt_f = tx_f.update(
+            {"F1": grads["F1"], "F2": zero_f2}, opt_f, pf)
+        pf = optax.apply_updates(pf, up_f)
+
+        # STEP B: discrepancy(o, o) == 0, leaving only the CE terms; the
+        # target forward still advances BN stats (reference .train() mode)
+        def loss_b(pf1, sg_):
+            feat_s, sg_ = apply_generator(g, pg, sg_, xs, True, kb1)
+            feat_t, sg_ = apply_generator(g, pg, sg_, xt, True, kb2)
+            del feat_t  # consumed only by BN stats; disc term is identically 0
+            o1s = apply_classifier(f1, pf1, feat_s, True)
+            return 2.0 * cross_entropy_2d(o1s, ys), sg_
+
+        (_, sg), gf1 = jax.value_and_grad(loss_b, has_aux=True)(pf["F1"], sg)
+        up_f, opt_f = tx_f.update({"F1": gf1, "F2": zero_f2}, opt_f, pf)
+        pf = optax.apply_updates(pf, up_f)
+
+        # STEP C x num_k: loss == 0 -> zero G-grads, but the optimizer still
+        # steps (momentum/weight-decay apply) and BN still advances on xt —
+        # exactly what the reference's zero_grad/backward(0)/step() does
+        def loss_c(pg_, sg_):
+            feat_t, sg_ = apply_generator(g, pg_, sg_, xt, True, None)
+            del feat_t
+            return jnp.zeros((), jnp.float32), sg_
+
+        for _ in range(tcfg.num_k):
+            (_, sg), gg = jax.value_and_grad(loss_c, has_aux=True)(pg, sg)
+            up, opt_g = tx_g.update(gg, opt_g, pg)
+            pg = optax.apply_updates(pg, up)
+
+        return st.replace(step=st.step + 1,
+                          params={"G": pg, "F1": pf["F1"], "F2": pf["F2"]},
+                          batch_stats={**st.batch_stats, "G": sg},
+                          opt_g=opt_g, opt_f=opt_f, rng=rng)
+
+    want = jax.jit(mirror_step)(state)
+    got, metrics = step(state, xs, ys, xt)
+
+    # discrepancy is identically 0 through the real step
+    assert float(metrics["loss_dis"]) == 0.0
+    # loss_b has no negative discrepancy contribution: pure CE, positive
+    assert float(metrics["loss_b"]) > 0.0
+
+    # the real tied step == genuine single-classifier training, exactly
+    for name in ("params", "batch_stats"):
+        for a, b in zip(jax.tree.leaves(getattr(want, name)),
+                        jax.tree.leaves(getattr(got, name))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-6)
+
+
 def test_sgd_matches_torch_two_steps():
     """Our optax chain == torch.optim.SGD(momentum, weight_decay) bit-for-bit
     over two updates on a quadratic."""
