@@ -47,6 +47,12 @@ end_to_end tracks device-only. The wire already ships the minimum bytes:
 uint8 RGB, uint16-mm depth, no target labels.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Extras captured every round (VERDICT r2 #3): "geometries" re-measures the
+device-only rate + MFU at 1024x512 (BASELINE config 3's GTA5->Cityscapes
+geometry) and for config 5's dual-branch late fusion, in the same line;
+"host_capacity_disk_cache" is the oversized-corpus steady state (RAM cache
+off, decoded-corpus disk cache on, epoch >= 2 assembling by mmap read);
+"baseline_provenance" restates that every vs_baseline divides by the proxy.
 """
 
 import functools
@@ -103,6 +109,106 @@ def _make_corpus(root: str, n: int, w: int, h: int) -> None:
         f.write(f"{n},{w},{h}")
 
 
+def _default_batch(w, h, on_tpu):
+    """Per-chip batch: 24 at 640x480 measured fastest on v5e; other
+    geometries keep the same pixel budget snapped to a multiple of 8."""
+    return max(8 * round(24 * (640 * 480) / (w * h) / 8), 8) if on_tpu else 1
+
+
+def _build_step(mesh, fusion, w, h, b, num_k):
+    """Construct (full_step, state, raw_batch_fn) for one bench config:
+    jit'd fused preprocess + MCD step, replicated fresh state, and a maker
+    of pre-staged raw wire batches."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcseg_tpu.core.config import DataConfig, ModelConfig, TrainConfig
+    from mcseg_tpu.data.labels import get_label_spec
+    from mcseg_tpu.data.pipeline import wire_format
+    from mcseg_tpu.models.factory import get_models
+    from mcseg_tpu.ops.preprocess import make_train_preprocess
+    from mcseg_tpu.parallel.mesh import replicate, shard_batch
+    from mcseg_tpu.train.mcd import make_mcd_step
+    from mcseg_tpu.train.state import create_train_state
+
+    model_cfg = ModelConfig(net="drn_d_38", input_ch=6, n_class=40,
+                            dtype="bfloat16", fusion=fusion)
+    data_cfg = DataConfig(
+        src_dataset="suncg", tgt_dataset="nyu", batch_size=b,
+        train_img_shape=(w, h), input_ch=6, num_workers=4,
+        data_root=f"/tmp/mcseg_bench_corpus_{w}x{h}",
+    )
+    train_cfg = TrainConfig(lr=1e-3, num_k=num_k, max_steps=100_000)
+
+    state, tx_g, tx_f = create_train_state(
+        model_cfg, train_cfg, jax.random.key(0), img_shape=(64, 64)
+    )
+    state = replicate(mesh, state)
+    g, f1, f2 = get_models(model_cfg)
+    pp = make_train_preprocess(data_cfg, compute_dtype=jnp.bfloat16)
+    _, tgt_remap, _, _ = get_label_spec("nyu")
+    tgt_remap = jnp.asarray(tgt_remap)
+    inner = make_mcd_step(g, f1, f2, tx_g, tx_f, train_cfg)
+    data_key = jax.random.key(1)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def full_step(state, src_raw, tgt_raw):
+        key = jax.random.fold_in(data_key, state.step)
+        k_src, k_tgt = jax.random.split(key)
+        xs, ys = pp(src_raw, k_src)
+        xt, _ = pp(tgt_raw, k_tgt, remap_table=tgt_remap)
+        return inner(state, xs, ys, xt)
+
+    def raw(seed, drop_label, h0, w0):
+        rr = np.random.RandomState(seed)
+        return shard_batch(mesh, wire_format({
+            "image": rr.randint(0, 255, (b, h0, w0, 3)).astype(np.uint8),
+            "label": rr.randint(0, 41, (b, h0, w0)).astype(np.uint8),
+            "depth": (rr.rand(b, h0, w0).astype(np.float32) * 3 + 0.5),
+        }, drop_label=drop_label))
+
+    return full_step, state, raw, data_cfg
+
+
+def _measure_device(mesh, n_chips, fusion, w, h, per_chip_batch, num_k,
+                    steps):
+    """Device-only rate for one (fusion, geometry): raw batches pre-staged
+    in HBM, fetch-synced timing, XLA flop count -> MFU."""
+    import time
+
+    import jax
+
+    b = per_chip_batch * n_chips
+    full_step, state, raw, _ = _build_step(mesh, fusion, w, h, b, num_k)
+    src, tgt = raw(0, False, h, w), raw(1, True, h, w)
+    state, metrics = full_step(state, src, tgt)
+    float(metrics["loss_source"])
+    flops = 0.0
+    try:
+        cost = full_step.lower(state, src, tgt).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = full_step(state, src, tgt)
+    float(metrics["loss_source"])
+    dt = time.perf_counter() - t0
+    rate = 2.0 * b * steps / dt / n_chips
+    peak = _peak_flops(jax.devices()[0])
+    mfu = (flops * steps / dt / (peak * n_chips)) if peak else None
+    return {
+        "value": round(rate, 3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "per_chip_batch": per_chip_batch,
+    }
+
+
 def main():
     from mcseg_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -136,10 +242,8 @@ def main():
     # batch 24/chip measured fastest on v5e (47.0 img/s/chip vs 42.6 at 16,
     # 47.3 at 32); other geometries default to the same pixel budget snapped
     # to a multiple of 8 (1024x512: batch 16 -> 24.6 img/s/chip vs 22.0 at 14)
-    default_b = (
-        max(8 * round(24 * (640 * 480) / (w * h) / 8), 8) if on_tpu else 1
-    )
-    per_chip_batch = int(os.environ.get("BENCH_PER_CHIP_BATCH", str(default_b)))
+    per_chip_batch = int(os.environ.get(
+        "BENCH_PER_CHIP_BATCH", str(_default_batch(w, h, on_tpu))))
     b = per_chip_batch * n_chips
     num_k = 4
     steps = 20 if on_tpu else 2
@@ -243,6 +347,35 @@ def main():
     host_per_chip = 2.0 * b * host_steps / (time.perf_counter() - t0) / n_chips
     del host_it
 
+    # host capacity through the decoded-corpus DISK cache (data/disk_cache.py)
+    # with the RAM cache OFF — the oversized-corpus (GTA5-scale) steady state:
+    # epoch 1 decodes once into memmap files, epochs >= 2 and re-runs assemble
+    # by mmap read. Uses fresh dataset objects so nothing rides the RAM cache.
+    import dataclasses
+
+    dc_cfg = dataclasses.replace(
+        data_cfg, decode_cache_gb=0.0, decode_disk_cache_gb=8.0,
+        decode_disk_cache_dir=os.path.join(data_cfg.data_root, ".bench_dcache"))
+    src_dc = get_dataset("nyu", dc_cfg, "train")
+    tgt_dc = get_dataset("nyu", dc_cfg, "train")
+    src_dc.decode_size = tgt_dc.decode_size = (w0, h0)
+    from mcseg_tpu.data.disk_cache import open_for_dataset
+
+    src_dc._disk = open_for_dataset(src_dc)  # re-open at the benched geometry
+    tgt_dc._disk = src_dc._disk  # same corpus+geometry: share the cache
+    disk_per_chip = None
+    if src_dc._disk is not None:
+        disk_it = batch_iterator(ZipDataset(src_dc, tgt_dc), b, seed=0,
+                                 num_workers=data_cfg.num_workers)
+        for _ in range(max(n_imgs // b, 1) + 1):  # epoch 1: decode + fill
+            next(disk_it)
+        t0 = time.perf_counter()
+        for _ in range(host_steps):
+            next(disk_it)
+        disk_per_chip = (2.0 * b * host_steps
+                         / (time.perf_counter() - t0) / n_chips)
+        del disk_it
+
     it = device_prefetch(
         batch_iterator(ZipDataset(src_ds, tgt_ds), b, seed=0,
                        num_workers=data_cfg.num_workers),
@@ -283,6 +416,23 @@ def main():
     e2e_per_chip = 2.0 * b * steps / dt_e2e / n_chips
     del dc_it
 
+    # ---- secondary sweeps, captured every round (VERDICT r2 #3): the GTA5->
+    # Cityscapes geometry (BASELINE config 3) and config 5's late fusion,
+    # device-only, in the SAME JSON line. BENCH_GEOMETRIES=0 skips; the sweep
+    # also auto-skips when the primary run already IS one of them.
+    geometries = {}
+    want_secondary = os.environ.get("BENCH_GEOMETRIES", "1" if on_tpu else "0")
+    if want_secondary == "1":
+        del src, tgt  # free the primary raw batches before recompiling
+        if not (shape_env == "1024x512" and fusion == "single"):
+            gw, gh = (1024, 512) if on_tpu else (96, 64)
+            geometries[f"{gw}x{gh}_rgbhha"] = _measure_device(
+                mesh, n_chips, "single", gw, gh,
+                _default_batch(gw, gh, on_tpu), num_k, steps)
+        if fusion != "late":
+            geometries[f"{w}x{h}_rgbhha_latefusion"] = _measure_device(
+                mesh, n_chips, "late", w, h, per_chip_batch, num_k, steps)
+
     peak = _peak_flops(jax.devices()[0])
     mfu = (flops_per_step * steps / dt_dev / (peak * n_chips)) if peak else None
     print(json.dumps({
@@ -297,10 +447,17 @@ def main():
         "end_to_end_frac_of_device": round(e2e_per_chip / dev_per_chip, 3),
         "end_to_end_host_wire": round(host_wire_per_chip, 3),
         "host_pipeline_capacity": round(host_per_chip, 3),
+        "host_capacity_disk_cache": (
+            round(disk_per_chip, 3) if disk_per_chip is not None else None),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "flops_per_step": flops_per_step,
         "n_chips": n_chips,
         "per_chip_batch": per_chip_batch,
+        "geometries": geometries,
+        # every vs_baseline in this line divides by a documented PROXY
+        # (5.0 img/s/chip), NOT a measured reference rate — see module
+        # docstring; replace when the reference becomes runnable
+        "baseline_provenance": "proxy_5.0_img_per_s_per_chip_unmeasured",
     }))
 
 

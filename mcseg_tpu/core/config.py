@@ -90,6 +90,16 @@ class DataConfig:
     # decoded) fit entirely; oversized corpora cache a prefix and decode the
     # rest each epoch.
     decode_cache_gb: float = 4.0
+    # Decoded-corpus DISK cache budget (GB, 0 disables): corpora that exceed
+    # the RAM budget decode each sample ONCE into raw memmap plane files next
+    # to the corpus (data/disk_cache.py); epochs >= 2 and re-runs assemble
+    # batches by mmap read at I/O speed — the oversized-corpus (GTA5-scale)
+    # answer to the RAM cache's prefix ceiling. Stream is bit-identical
+    # cache on/off/partial (tests/test_disk_cache.py).
+    decode_disk_cache_gb: float = 0.0
+    # override the cache location for read-only corpus mounts (default:
+    # <data_root>/.mcseg_decode_cache/)
+    decode_disk_cache_dir: str = ""
     # HBM-resident corpus (data/device_corpus.py): stage the decoded corpus
     # on-device once and feed steps by index — zero steady-state H2D traffic.
     # 'auto' enables it when the wire-format corpus fits device_corpus_gb

@@ -66,6 +66,12 @@ class SegDataset:
         self._cache_bytes = 0
         self._cache_budget = int(
             getattr(cfg, "decode_cache_gb", 0.0) * 1e9)
+        # decoded-corpus DISK cache (data/disk_cache.py): for corpora that
+        # exceed the RAM budget, each sample decodes ONCE ever — epochs >= 2
+        # and later runs mmap raw planes instead of re-decoding PNGs
+        from mcseg_tpu.data.disk_cache import open_for_dataset
+
+        self._disk = open_for_dataset(self)
         # the pooled batch path (pipeline.batch_iterator num_workers>1) runs
         # concurrent get_batch calls on one dataset; serialize the
         # insert+accounting so _cache_bytes can't double-count an index
@@ -159,6 +165,11 @@ class SegDataset:
         cached = self._cache.get(i)
         if cached is not None:
             return cached  # treat as read-only (shared across epochs)
+        if self._disk is not None:
+            hit = self._disk.get(i)
+            if hit is not None:
+                self._cache_put(i, hit)
+                return hit
         s = self.samples[i]
         out: Dict[str, np.ndarray] = {
             "image": self._decode_rgb(s["rgb"]),
@@ -175,6 +186,8 @@ class SegDataset:
                 ir = ir.resize(self.decode_size, Image.BILINEAR)
             out["ir"] = np.asarray(ir, np.uint8)
         self._cache_put(i, out)
+        if self._disk is not None:
+            self._disk.put(i, out)
         return out
 
     def get_batch(self, indices) -> Dict[str, np.ndarray]:
@@ -199,8 +212,33 @@ class SegDataset:
         # forever (measured: 35 vs ~700 img/s host capacity on a 64-image
         # corpus at batch 24).
         missing = [i for i in idx if i not in cache] if cache is not None else idx
+        # disk-cache layer between RAM and decode: a fully-on-disk batch reads
+        # as ONE fancy-index per plane straight off the memmaps
+        disk = getattr(self, "_disk", None)
+        from_disk: Dict[int, Dict[str, np.ndarray]] = {}
+        if disk is not None and missing:
+            if len(missing) == len(idx) and disk.has_many(idx):
+                out = disk.get_many(idx)
+                if cache is not None:
+                    for k, i in enumerate(idx):
+                        self._cache_put(
+                            i, {key: v[k].copy() for key, v in out.items()})
+                return out
+            for i in missing:
+                hit = disk.get(i)
+                if hit is not None:
+                    from_disk[i] = hit
+                    if cache is not None:
+                        self._cache_put(i, hit)
+            missing = [i for i in missing if i not in from_disk]
+
+        def _from_caches(i):
+            if cache is not None and i in cache:
+                return cache[i]
+            return from_disk[i]
+
         if not missing:
-            return _stack([cache[i] for i in idx])
+            return _stack([_from_caches(i) for i in idx])
         file_list = getattr(self, "samples", None)  # procedural corpora: none
         samples = [file_list[i] for i in missing] if file_list else []
         usable = (
@@ -227,6 +265,10 @@ class SegDataset:
                     [s["depth"] for s in samples], h, w)
         except IOError:
             return _stack([self[i] for i in idx])
+        if disk is not None:
+            for k, i in enumerate(missing):
+                # memmap row assignment copies; views are fine to pass
+                disk.put(i, {key: v[k] for key, v in out.items()})
         if len(missing) == len(idx):
             if cache is not None:
                 for k, i in enumerate(missing):
@@ -241,7 +283,7 @@ class SegDataset:
             for i, s in decoded.items():
                 self._cache_put(i, s)
         return _stack(
-            [decoded[i] if i in decoded else cache[i] for i in idx])
+            [decoded[i] if i in decoded else _from_caches(i) for i in idx])
 
 
 class CityscapesDataset(SegDataset):

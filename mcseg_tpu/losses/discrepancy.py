@@ -14,18 +14,20 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from mcseg_tpu.losses.seg import at_least_f32
+
 
 def discrepancy_diff(logits1: jnp.ndarray, logits2: jnp.ndarray) -> jnp.ndarray:
     """mean |softmax(o1) - softmax(o2)| — MCD's L1 discrepancy."""
-    p1 = jax.nn.softmax(logits1.astype(jnp.float32), axis=-1)
-    p2 = jax.nn.softmax(logits2.astype(jnp.float32), axis=-1)
+    p1 = jax.nn.softmax(at_least_f32(logits1), axis=-1)
+    p2 = jax.nn.softmax(at_least_f32(logits2), axis=-1)
     return jnp.mean(jnp.abs(p1 - p2))
 
 
 def discrepancy_symkl(logits1: jnp.ndarray, logits2: jnp.ndarray) -> jnp.ndarray:
     """Symmetric KL: (KL(p1||p2) + KL(p2||p1)) / 2, mean over pixels."""
-    lp1 = jax.nn.log_softmax(logits1.astype(jnp.float32), axis=-1)
-    lp2 = jax.nn.log_softmax(logits2.astype(jnp.float32), axis=-1)
+    lp1 = jax.nn.log_softmax(at_least_f32(logits1), axis=-1)
+    lp2 = jax.nn.log_softmax(at_least_f32(logits2), axis=-1)
     p1 = jnp.exp(lp1)
     p2 = jnp.exp(lp2)
     kl12 = jnp.sum(p1 * (lp1 - lp2), axis=-1)

@@ -18,6 +18,12 @@ import jax.numpy as jnp
 IGNORE_INDEX = 255
 
 
+def at_least_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Upcast bf16/f16 to float32 for stable loss math WITHOUT downcasting
+    the float64 parity oracles (tests/test_trajectory_parity.py)."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def cross_entropy_2d(
     logits: jnp.ndarray,  # [B, H, W, C] float
     labels: jnp.ndarray,  # [B, H, W] int
@@ -28,18 +34,18 @@ def cross_entropy_2d(
     n_class = logits.shape[-1]
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
-    logits = logits.astype(jnp.float32)
+    logits = at_least_f32(logits)
     # CE = logsumexp(logits) - logits[label]. The target logit is picked with
     # a one-hot contraction, NOT take_along_axis: a per-pixel gather over the
     # class dim lowered to ~113 ms per call on v5e at 24x480x640x40 (profiled)
     # while the one-hot multiply+reduce fuses into the same pass as logsumexp.
-    onehot = jax.nn.one_hot(safe_labels, n_class, dtype=jnp.float32)
+    onehot = jax.nn.one_hot(safe_labels, n_class, dtype=logits.dtype)
     target_logit = jnp.sum(logits * onehot, axis=-1)
     lse = jax.nn.logsumexp(logits, axis=-1)
     nll = lse - target_logit
     nll = jnp.where(valid, nll, 0.0)
     denom = jnp.maximum(valid.sum(), 1)
-    return nll.sum() / denom.astype(jnp.float32)
+    return nll.sum() / denom.astype(logits.dtype)
 
 
 def boundary_targets_from_labels(
@@ -88,8 +94,8 @@ def balanced_bce_2d(
     """
     if logits.ndim == targets.ndim + 1:
         logits = logits[..., 0]
-    logits = logits.astype(jnp.float32)
-    targets = targets.astype(jnp.float32)
+    logits = at_least_f32(logits)
+    targets = targets.astype(logits.dtype)
     if valid_mask is None:
         valid_mask = jnp.ones(targets.shape, bool)
     validf = valid_mask.astype(jnp.float32)
@@ -122,4 +128,4 @@ def berhu_loss(
     quad = (err * err + c * c) / (2.0 * c)
     loss = jnp.where(abs_err <= c, abs_err, quad)
     denom = jnp.maximum(valid_mask.sum(), 1)
-    return loss.sum() / denom.astype(jnp.float32)
+    return loss.sum() / denom.astype(loss.dtype)

@@ -105,7 +105,10 @@ class PixelClassifier(nn.Module):
         # hand fp32 logits to the loss (bf16 logits end-to-end measured only
         # ~2% faster — not worth the softmax numerics drift)
         x = upsample_logits(x, self.up_factor, self.upsample)
-        return x.astype(jnp.float32)
+        # at-least-fp32 logits for the loss (bf16 in -> fp32 out, measured
+        # only ~2% faster end-to-end in bf16 — not worth the softmax drift);
+        # never downcasts the float64 parity oracle
+        return x.astype(jnp.promote_types(x.dtype, jnp.float32))
 
 
 class BoundaryDetector(nn.Module):
@@ -131,7 +134,7 @@ class BoundaryDetector(nn.Module):
             name="boundary",
         )(feat)
         x = upsample_logits(x, self.up_factor, self.upsample)
-        return x.astype(jnp.float32)
+        return x.astype(jnp.promote_types(x.dtype, jnp.float32))
 
 
 class DepthRegressor(nn.Module):
@@ -155,4 +158,4 @@ class DepthRegressor(nn.Module):
             name="depth",
         )(feat)
         x = upsample_logits(x, self.up_factor, self.upsample)
-        return x.astype(jnp.float32)
+        return x.astype(jnp.promote_types(x.dtype, jnp.float32))

@@ -28,7 +28,10 @@ import numpy as np
 
 @functools.lru_cache(maxsize=64)
 def _interp_matrix_np(n_out: int, n_in: int, mode: str) -> np.ndarray:
-    a = np.zeros((n_out, n_in), np.float32)
+    # Taps are built in float64 and cast at use: float32 use is bit-identical
+    # to computing-then-storing f32, while the float64 parity oracle keeps
+    # full-precision taps (tests/test_trajectory_parity.py).
+    a = np.zeros((n_out, n_in), np.float64)
     if mode == "resize":
         scale = n_in / n_out
         for i in range(n_out):
@@ -59,8 +62,9 @@ def _interp_matrix_np(n_out: int, n_in: int, mode: str) -> np.ndarray:
     return a
 
 
-def interp_matrix(n_out: int, n_in: int, mode: str = "resize") -> jnp.ndarray:
-    return jnp.asarray(_interp_matrix_np(n_out, n_in, mode))
+def interp_matrix(n_out: int, n_in: int, mode: str = "resize",
+                  dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.asarray(_interp_matrix_np(n_out, n_in, mode), dtype=dtype)
 
 
 def upsample_matmul(
@@ -68,16 +72,20 @@ def upsample_matmul(
     out_h: int,
     out_w: int,
     mode: Literal["resize", "convt"] = "resize",
-    out_dtype=jnp.float32,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Separable bilinear resize as two MXU matmuls; exact-match to the
-    reference implementations per `mode` (see module docstring)."""
+    reference implementations per `mode` (see module docstring).
+
+    Accumulation is at least float32 (bf16 inputs keep fp32 MXU accumulation)
+    and never downcasts wider inputs (float64 oracle fidelity)."""
     b, h, w, c = x.shape
-    ah = interp_matrix(out_h, h, mode).astype(x.dtype)
-    aw = interp_matrix(out_w, w, mode).astype(x.dtype)
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    ah = interp_matrix(out_h, h, mode, dtype=x.dtype)
+    aw = interp_matrix(out_w, w, mode, dtype=x.dtype)
     # H pass: [H, h] x [B, h, w, C] -> [B, H, w, C]
-    y = jnp.einsum("Hh,bhwc->bHwc", ah, x, preferred_element_type=jnp.float32)
+    y = jnp.einsum("Hh,bhwc->bHwc", ah, x, preferred_element_type=acc)
     y = y.astype(x.dtype)
     # W pass: [W, w] x [B, H, w, C] -> [B, H, W, C]
-    y = jnp.einsum("Ww,bHwc->bHWc", aw, y, preferred_element_type=jnp.float32)
-    return y.astype(out_dtype)
+    y = jnp.einsum("Ww,bHwc->bHWc", aw, y, preferred_element_type=acc)
+    return y.astype(out_dtype if out_dtype is not None else x.dtype)

@@ -75,7 +75,8 @@ def apply_classifier_pair(f1, params1, f2, params2, feat, train: bool):
             feat.astype(dt), k, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + b
-        y = upsample_logits(y, f1.up_factor, f1.upsample).astype(jnp.float32)
+        y = upsample_logits(y, f1.up_factor, f1.upsample)
+        y = y.astype(jnp.promote_types(y.dtype, jnp.float32))
         return y[..., : f1.n_class], y[..., f1.n_class:]
     return (
         apply_classifier(f1, params1, feat, train),

@@ -26,9 +26,14 @@ import jax.numpy as jnp
 import optax
 
 
+# Schedules compute in the ambient float precision (jnp.result_type(float):
+# float32 in production, float64 under the x64 oracle tests) so the fp64
+# trajectory-parity oracle isn't limited by a float32 lr value.
+
+
 def poly_lr(base_lr: float, max_steps: int, power: float = 0.9) -> Callable:
     def schedule(step):
-        frac = jnp.clip(step.astype(jnp.float32) / max_steps, 0.0, 1.0)
+        frac = jnp.clip(step.astype(jnp.result_type(float)) / max_steps, 0.0, 1.0)
         return base_lr * (1.0 - frac) ** power
 
     return schedule
@@ -36,14 +41,14 @@ def poly_lr(base_lr: float, max_steps: int, power: float = 0.9) -> Callable:
 
 def step_lr(base_lr: float, step_size: int, gamma: float = 0.1) -> Callable:
     def schedule(step):
-        return base_lr * gamma ** (step // step_size).astype(jnp.float32)
+        return base_lr * gamma ** (step // step_size).astype(jnp.result_type(float))
 
     return schedule
 
 
 def constant_lr(base_lr: float) -> Callable:
     def schedule(step):
-        return jnp.asarray(base_lr, jnp.float32)
+        return jnp.asarray(base_lr, jnp.result_type(float))
 
     return schedule
 

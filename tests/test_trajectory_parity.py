@@ -1,0 +1,209 @@
+"""Multi-step MCD training-dynamics parity vs the torch reference loop.
+
+Closes VERDICT r2 next-round #1a: tests/test_mcd_full_trunk_parity.py proves
+ONE full A/B/C(xnum_k) iteration; nothing there pins the *time evolution* —
+poly-LR cadence (documented divergence #5 was an assumption), BN-statistic
+drift, optimizer-momentum evolution, and freeze semantics compounding over
+tens of steps.  Here the full DRN-D-22 + fixed-bilinear-head MCD stack runs
+30 iterations in BOTH frameworks at float64 with the poly LR schedule ACTIVE
+(per-iteration adjust_learning_rate cadence, SURVEY.md section 3.2), from
+identical initial weights on identical per-step batches, and every per-step
+loss plus the final parameters / BN running means must track to
+near-machine precision.
+
+Why fp64 on both sides (no yardstick needed): at fp64 the only divergence
+between a correct jax implementation and the torch loop is ~1e-16 rounding
+amplified by the trajectory's local Lipschitz growth. Measured on this exact
+setup: step-0 losses agree at ~1e-15 and the 30-step drift peaks at ~2e-7
+relative (the min-max + tiny-batch-BN dynamics amplify rounding by ~1e8 over
+30 steps). The same measurement calibrates the detection floor: while this
+test was being built it caught a real ~5e-8-per-step systematic difference
+(fp32 logit/upsample crushing in an intended-f64 path) which grew to 1.4e-2
+by step 1 and ~35% by step 30 — any per-step semantic divergence (wrong LR
+cadence at ~1e-3/step of lr, a missing BN advance or optimizer update at
+~lr*grad ~ 1e-3) sits 4+ orders of magnitude above the 1e-6 bound.
+
+Trajectory length 30 and MAX_STEPS=40 make the decay steep (lr falls to
+~0.12x base) so every step exercises a materially different lr.
+"""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from mcseg_tpu.core.config import ModelConfig, TrainConfig
+from mcseg_tpu.models.factory import get_models, init_models
+from mcseg_tpu.train.mcd import make_mcd_step
+from mcseg_tpu.train.optim import get_optimizer
+from mcseg_tpu.train.state import MCDTrainState
+from tests.test_golden_drn import TorchDRND22
+from tests.test_mcd_full_trunk_parity import (
+    TorchF8,
+    _ce,
+    _disc,
+    _import_all,
+    _named_leaves,
+)
+
+B, H, W, NC = 2, 16, 16, 5
+LR, MOM, NUM_K = 0.05, 0.9, 2
+STEPS, MAX_STEPS, POWER = 30, 40, 0.9
+
+
+def _poly_lr(i):
+    return LR * (1.0 - min(i / MAX_STEPS, 1.0)) ** POWER
+
+
+def _run_torch_trajectory(tg, tf1, tf2, batches):
+    """The reference adapt_trainer loop (SURVEY.md section 3.2) for
+    len(batches) iterations with adjust_learning_rate applied once per
+    iteration (the cadence our injected-hyperparams schedule implements).
+    Returns per-step (loss_a, loss_b, last loss_c)."""
+    for m in (tg, tf1, tf2):
+        m.train()
+    opt_g = torch.optim.SGD(tg.parameters(), lr=LR, momentum=MOM)
+    f_params = [p for p in list(tf1.parameters()) + list(tf2.parameters())
+                if p.requires_grad]
+    opt_f = torch.optim.SGD(f_params, lr=LR, momentum=MOM)
+
+    losses = []
+    for i, (xs, ys, xt) in enumerate(batches):
+        lr = _poly_lr(i)
+        for opt in (opt_g, opt_f):
+            for group in opt.param_groups:
+                group["lr"] = lr
+        t_xs = torch.from_numpy(xs).permute(0, 3, 1, 2)
+        t_xt = torch.from_numpy(xt).permute(0, 3, 1, 2)
+        t_ys = torch.from_numpy(ys)
+
+        opt_g.zero_grad(); opt_f.zero_grad()
+        feat = tg(t_xs)
+        l_a = _ce(tf1(feat), t_ys) + _ce(tf2(feat), t_ys)
+        l_a.backward(); opt_g.step(); opt_f.step()
+
+        opt_g.zero_grad(); opt_f.zero_grad()
+        feat_s = tg(t_xs); feat_t = tg(t_xt)
+        l_b = (_ce(tf1(feat_s), t_ys) + _ce(tf2(feat_s), t_ys)
+               - _disc(tf1(feat_t), tf2(feat_t)))
+        l_b.backward(); opt_f.step()
+
+        for _ in range(NUM_K):
+            opt_g.zero_grad(); opt_f.zero_grad()
+            feat_t = tg(t_xt)
+            l_c = _disc(tf1(feat_t), tf2(feat_t))
+            l_c.backward()
+            opt_g.step()
+        losses.append((l_a.item(), l_b.item(), l_c.item()))
+    return losses
+
+
+def _f64_up_weights(tf):
+    """TorchF8 builds its fixed bilinear kernel in float32 (matching the
+    reference's f32 weights); the fp64 oracle needs full-precision taps on
+    BOTH sides (ours are f64-exact after the ops/upsample.py fix)."""
+    from mcseg_tpu.models.heads import bilinear_kernel
+
+    with torch.no_grad():
+        k = torch.from_numpy(bilinear_kernel(16, dtype=np.float64))
+        tf.up.weight.copy_(k[None, None].repeat(NC, 1, 1, 1))
+    return tf
+
+
+@pytest.fixture()
+def enable_x64():
+    jax.config.update("jax_enable_x64", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.slow
+def test_mcd_fp64_trajectory_parity(enable_x64):
+    torch.manual_seed(0)
+    tg = TorchDRND22().double()
+    tf1 = _f64_up_weights(TorchF8().double())
+    tf2 = _f64_up_weights(TorchF8().double())
+    with torch.no_grad():
+        for m in tg.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(torch.rand_like(m.running_var) * 0.5 + 0.75)
+    init_sds = tuple(copy.deepcopy(m.state_dict()) for m in (tg, tf1, tf2))
+
+    rng = np.random.RandomState(0)
+    batches = []
+    for _ in range(STEPS):
+        xs = rng.rand(B, H, W, 3).astype(np.float64)
+        ys = rng.randint(0, NC, (B, H, W)).astype(np.int64)
+        ys[0, :2] = 255  # ignore_index masking active on every step
+        xt = rng.rand(B, H, W, 3).astype(np.float64)
+        batches.append((xs, ys, xt))
+
+    torch_losses = _run_torch_trajectory(tg, tf1, tf2, batches)
+    final_sds = tuple(copy.deepcopy(m.state_dict()) for m in (tg, tf1, tf2))
+
+    # ---- ours: same trajectory, ONE jit'd A/B/C(xK) step per iteration -----
+    cfg = ModelConfig(net="drn_d_22", input_ch=3, n_class=NC,
+                      dtype="float64", upsample="convt")
+    variables = init_models(cfg, jax.random.key(0), img_shape=(H, W))
+    params, sg = _import_all(*init_sds, variables)
+
+    tcfg = TrainConfig(opt="sgd", lr=LR, momentum=MOM, weight_decay=0.0,
+                       num_k=NUM_K, d_loss="diff", lr_schedule="poly",
+                       lr_power=POWER, max_steps=MAX_STEPS)
+    tx_g = get_optimizer("sgd", LR, MOM, 0.0)
+    tx_f = get_optimizer("sgd", LR, MOM, 0.0)
+    state = MCDTrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats={"G": sg, "F1": {}, "F2": {}},
+        opt_g=tx_g.init(params["G"]),
+        opt_f=tx_f.init({"F1": params["F1"], "F2": params["F2"]}),
+        rng=jax.random.key(1),
+    )
+    g, f1, f2 = get_models(cfg)
+    step = jax.jit(make_mcd_step(g, f1, f2, tx_g, tx_f, tcfg))
+
+    ours_losses, ours_lrs = [], []
+    for xs, ys, xt in batches:
+        state, metrics = step(state, jnp.asarray(xs), jnp.asarray(ys),
+                              jnp.asarray(xt))
+        ours_losses.append((float(metrics["loss_source"]),
+                            float(metrics["loss_b"]),
+                            float(metrics["loss_dis"])))
+        ours_lrs.append(float(metrics["lr"]))
+
+    # The lr actually used each iteration IS the per-iteration poly value —
+    # divergence #5's cadence, now measured rather than assumed.
+    np.testing.assert_allclose(
+        ours_lrs, [_poly_lr(i) for i in range(STEPS)], rtol=1e-12)
+
+    # Per-step losses track the torch loop for the WHOLE trajectory.
+    # Measured drift: <=2e-7 relative at step 30 (fp64 rounding amplified by
+    # the min-max dynamics — step 0 agrees at ~1e-15 and the growth is the
+    # trajectory's own Lyapunov factor). Bound 1e-6 keeps 5x margin over the
+    # measurement while sitting ~100x below the semantic-bug scale (>=1e-4 by
+    # step 5 — see module docstring).
+    torch_losses = np.asarray(torch_losses)
+    ours_losses = np.asarray(ours_losses)
+    np.testing.assert_allclose(ours_losses, torch_losses, rtol=1e-6, atol=1e-9)
+
+    # Final parameters + BN running means (var skipped: documented Bessel
+    # divergence #1). Update scale here is ~lr*grad ~ 1e-3; the 1e-6 bound
+    # (same envelope as the losses) is ~1000x tighter than any missing/extra
+    # update while allowing the measured fp64 trajectory drift.
+    exp_params, exp_sg = _import_all(*final_sds, variables)
+    for (name, o), (_, t) in zip(_named_leaves(state.params),
+                                 _named_leaves(exp_params)):
+        err = np.max(np.abs(o - t))
+        assert err < 1e-6 * (1.0 + np.max(np.abs(t))), (name, err)
+    for (name, o), (_, t) in zip(
+            _named_leaves(state.batch_stats["G"], skip_suffix=("['var']",)),
+            _named_leaves(exp_sg, skip_suffix=("['var']",))):
+        err = np.max(np.abs(o - t))
+        assert err < 1e-6 * (1.0 + np.max(np.abs(t))), (name, err)
