@@ -77,6 +77,10 @@ def _add_data_args(p: argparse.ArgumentParser) -> None:
                         "'auto' = when it fits --device_corpus_gb")
     p.add_argument("--device_corpus_gb", type=float, default=4.0,
                    help="per-device HBM budget for --device_corpus auto")
+    p.add_argument("--decode_cache_gb", type=float, default=4.0,
+                   help="decoded-sample RAM cache budget (GB, 0=off): "
+                        "epochs >= 2 skip PNG/JPEG decode for samples that "
+                        "fit the budget")
     p.add_argument("--decode_disk_cache_gb", type=float, default=0.0,
                    help="decoded-corpus disk cache budget (GB, 0=off): "
                         "decode each sample once into raw memmap files; "
@@ -183,6 +187,7 @@ def args_to_config(args: argparse.Namespace, adapt: bool) -> ExperimentConfig:
         max_samples=args.max_samples,
         device_corpus=getattr(args, "device_corpus", "auto"),
         device_corpus_gb=getattr(args, "device_corpus_gb", 4.0),
+        decode_cache_gb=getattr(args, "decode_cache_gb", 4.0),
         decode_disk_cache_gb=getattr(args, "decode_disk_cache_gb", 0.0),
         decode_disk_cache_dir=getattr(args, "decode_disk_cache_dir", ""),
     )

@@ -174,3 +174,25 @@ def test_unwritable_corpus_root_disables_gracefully(tmp_path, capsys):
     ds = get_dataset("nyu", _cfg(root, cache_dir="", gb=1e-9), "train")
     assert ds._disk is None
     assert ds[0]["image"].shape == (480, 640, 3)  # corpus-native decode size
+
+
+def test_cli_flag_plumbing():
+    """--decode_disk_cache_gb/_dir flow from argparse into DataConfig."""
+    from mcseg_tpu.cli.argparse_compat import (
+        args_to_config,
+        get_da_mcd_training_parser,
+    )
+
+    p = get_da_mcd_training_parser()
+    args = p.parse_args(["synthetic", "synthetic",
+                         "--decode_disk_cache_gb", "12.5",
+                         "--decode_disk_cache_dir", "/fast/scratch",
+                         "--decode_cache_gb", "0.5"])
+    cfg = args_to_config(args, adapt=True)
+    assert cfg.data.decode_disk_cache_gb == 12.5
+    assert cfg.data.decode_disk_cache_dir == "/fast/scratch"
+    assert cfg.data.decode_cache_gb == 0.5
+    # default stays off (cache creation touches the corpus root)
+    cfg0 = args_to_config(p.parse_args(["synthetic", "synthetic"]), adapt=True)
+    assert cfg0.data.decode_disk_cache_gb == 0.0
+    assert cfg0.data.decode_cache_gb == 4.0  # RAM cache default stays on
