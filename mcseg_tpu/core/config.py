@@ -28,7 +28,8 @@ class ModelConfig:
     (SURVEY.md section 2, `models/model_util.py`)."""
 
     net: str = "drn_d_38"  # drn_d_22|38|54|105, drn_c_26|42, fcn8s_vgg16
-    input_ch: int = 3  # 1 depth | 3 rgb or hha | 4 rgb+d | 6 rgb+hha (early fusion)
+    input_ch: int = 3  # 1 depth | 3 rgb or hha | 4 rgb+d | 6 rgb+hha (early
+    # fusion) | 7 rgb+hha+boundary (precomputed edge-map input channel)
     n_class: int = 40  # NYUDv2-40 default; 19 for Cityscapes train IDs
     method: str = "MCD"  # MCD (G,F1,F2) | source-only (G,F1)
     # 'early'  — channel-concat into a widened first conv (input_ch=4/6)

@@ -20,6 +20,7 @@ were unverifiable — SURVEY.md section 0):
   gta5:       <root>/images/*.png + <root>/labels/*.png
   nyu:        <root>/<split>_rgb/*.png + <root>/<split>_label/*.png
               [+ <split>_depth/*.png (16-bit, mm) or <split>_hha/*.png]
+              [+ <split>_boundary/*.png (uint8 edge map, input_ch 7)]
   suncg:      same convention as nyu
   synthetic:  procedurally generated (no disk) — mini-split smoke tests &
               benchmarks; deterministic per index.
@@ -151,6 +152,24 @@ class SegDataset:
             return arr.astype(np.float32) * 0.001
         return arr.astype(np.float32)
 
+    def _decode_boundary(self, path: str) -> np.ndarray:
+        """Precomputed edge-map plane (boundary-as-input-channel, SURVEY.md
+        section 2 datasets row '+boundary [?]'): grayscale uint8, nonzero =
+        edge. NEAREST resize keeps the map binary (bilinear would smear the
+        1-px edges into gray halos the normalizer then mis-scales)."""
+        from mcseg_tpu import native
+
+        w, h = self.decode_size
+        if native.available():
+            try:
+                return native.decode_gray(path, h, w)
+            except IOError:
+                pass
+        b = Image.open(path).convert("L")
+        if b.size != self.decode_size:
+            b = b.resize(self.decode_size, Image.NEAREST)
+        return np.asarray(b, np.uint8)
+
     def _cache_put(self, i: int, sample: Dict[str, np.ndarray]) -> None:
         nbytes = sum(v.nbytes for v in sample.values())
         with self._cache_lock:
@@ -185,6 +204,8 @@ class SegDataset:
             if ir.size != self.decode_size:
                 ir = ir.resize(self.decode_size, Image.BILINEAR)
             out["ir"] = np.asarray(ir, np.uint8)
+        if "boundary" in s:
+            out["boundary"] = self._decode_boundary(s["boundary"])
         self._cache_put(i, out)
         if self._disk is not None:
             self._disk.put(i, out)
@@ -263,6 +284,9 @@ class SegDataset:
             if all("depth" in s for s in samples):
                 out["depth"] = native.decode_depth16_batch(
                     [s["depth"] for s in samples], h, w)
+            if all("boundary" in s for s in samples):
+                out["boundary"] = native.decode_gray_batch(
+                    [s["boundary"] for s in samples], h, w)
         except IOError:
             return _stack([self[i] for i in idx])
         if disk is not None:
@@ -325,7 +349,8 @@ class GTA5Dataset(SegDataset):
 
 class _RgbDepthLabelDataset(SegDataset):
     """nyu/suncg shared layout: <split>_rgb / <split>_label / optional
-    <split>_depth / <split>_hha directories with matching basenames."""
+    <split>_depth / <split>_hha / <split>_ir / <split>_boundary directories
+    with matching basenames."""
 
     has_depth = True
 
@@ -340,7 +365,7 @@ class _RgbDepthLabelDataset(SegDataset):
             lbl = self._find(root, f"{split}_label", stem)
             if lbl:
                 sample["label"] = lbl
-            for key in ("depth", "hha", "ir"):
+            for key in ("depth", "hha", "ir", "boundary"):
                 q = self._find(root, f"{split}_{key}", stem)
                 if q:
                     sample[key] = q

@@ -183,8 +183,10 @@ def open_for_dataset(ds) -> Optional[DiskDecodeCache]:
         planes["hha"] = ((h, w, 3), "uint8")
     if "ir" in s0:
         planes["ir"] = ((h, w), "uint8")
+    if "boundary" in s0:
+        planes["boundary"] = ((h, w), "uint8")
     paths = [s.get(k) or "" for s in samples
-             for k in ("rgb", "label", "depth", "hha", "ir")]
+             for k in ("rgb", "label", "depth", "hha", "ir", "boundary")]
     key = _fingerprint(paths, {"img": (h, w), "lbl": (lh, lw)})
     root = getattr(ds.cfg, "decode_disk_cache_dir", "") or os.path.join(
         ds.cfg.data_root, ".mcseg_decode_cache")

@@ -162,18 +162,37 @@ def export_serving(
     else:
         tw, th = cfg.data.test_img_shape
         w, h = tw, th
-    if extra_plane is not None and extra_plane not in ("depth", "hha", "ir"):
-        raise ValueError(
-            f"extra_plane must be 'depth'|'hha'|'ir', got {extra_plane!r}")
+    if extra_plane is not None and extra_plane not in (
+            "depth", "hha", "ir", "boundary"):
+        raise ValueError(f"extra_plane must be 'depth'|'hha'|'ir'|'boundary', "
+                         f"got {extra_plane!r}")
     plane_note = None
     spec = {}
     if cfg.model.input_ch != 1:
         spec["image"] = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
+    if cfg.model.input_ch == 7:
+        # rgb+hha+boundary: the boundary plane is always ingested; the HHA
+        # source follows the same hha-vs-depth rule as input_ch=6
+        spec["boundary"] = jax.ShapeDtypeStruct((batch, h, w), jnp.uint8)
+        if extra_plane is None:
+            extra_plane = "depth" if cfg.data.hha_on_device else "hha"
+        if extra_plane == "depth":
+            spec["depth"] = jax.ShapeDtypeStruct((batch, h, w), jnp.float32)
+        elif extra_plane == "hha":
+            spec["hha"] = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
+        else:
+            raise ValueError(
+                "input_ch=7 takes extra_plane 'depth'|'hha' (the boundary "
+                f"plane is implicit), got {extra_plane!r}")
     if cfg.model.input_ch in (1, 4, 6):
         if extra_plane == "ir" and cfg.model.input_ch == 6:
             raise ValueError(
                 "extra_plane='ir' is only valid for input_ch 1/4 — the "
                 "input_ch=6 preprocess consumes HHA or raw depth")
+        if extra_plane == "boundary" and cfg.model.input_ch != 4:
+            raise ValueError(
+                "extra_plane='boundary' is only valid for input_ch 4 "
+                "(rgb+boundary) or implicit in input_ch 7")
         if extra_plane is None:
             if cfg.model.input_ch == 6:
                 extra_plane = ("depth" if cfg.data.hha_on_device else "hha")
@@ -193,14 +212,23 @@ def export_serving(
                         "preference when depth exists) — pass "
                         "extra_plane='ir' if training consumed IR")
             else:
+                # introspect the corpus for the plane the train preprocess
+                # would consume (priority: depth > hha > ir > boundary,
+                # ops/preprocess.py:_extra_channels); unreachable -> depth
+                samples = getattr(ds, "samples", None) if ds is not None else None
                 extra_plane = "depth"
+                if samples:
+                    for cand in ("depth", "hha", "ir", "boundary"):
+                        if cand in samples[0]:
+                            extra_plane = cand
+                            break
         if extra_plane == "depth":
             spec["depth"] = jax.ShapeDtypeStruct((batch, h, w), jnp.float32)
         elif extra_plane == "hha":
             spec["hha"] = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
-        else:
-            spec["ir"] = jax.ShapeDtypeStruct((batch, h, w), jnp.uint8)
-    elif extra_plane is not None:
+        else:  # 'ir' or 'boundary': single uint8 plane
+            spec[extra_plane] = jax.ShapeDtypeStruct((batch, h, w), jnp.uint8)
+    elif extra_plane is not None and cfg.model.input_ch == 3:
         raise ValueError(
             f"extra_plane={extra_plane!r} conflicts with "
             f"input_ch={cfg.model.input_ch} (RGB-only checkpoint)")

@@ -139,6 +139,10 @@ def _normalize_stack(rgb01, extra, input_ch: int) -> jnp.ndarray:
         return jnp.concatenate([rgb, d], axis=-1)
     if input_ch == 1:
         return (extra - jnp.asarray(0.5, dt)) / jnp.asarray(0.25, dt)
+    if input_ch == 7:  # rgb + hha + boundary edge map
+        hha = (extra[..., :3] - jnp.asarray(HHA_MEAN, dt)) / jnp.asarray(HHA_STD, dt)
+        bnd = (extra[..., 3:] - jnp.asarray(0.5, dt)) / jnp.asarray(0.25, dt)
+        return jnp.concatenate([rgb, hha, bnd], axis=-1)
     raise ValueError(f"unsupported input_ch {input_ch}")
 
 
@@ -155,14 +159,26 @@ def _extra_channels(
     """
     has_hha = "hha" in batch and batch["hha"] is not None
     has_depth = "depth" in batch and batch["depth"] is not None
-    if input_ch == 6:
+    has_boundary = "boundary" in batch and batch["boundary"] is not None
+    if input_ch in (6, 7):
+        hha = None
         if has_hha and not (hha_on_device and has_depth):
-            return batch["hha"].astype(jnp.float32) / 255.0
-        if has_depth:
+            hha = batch["hha"].astype(jnp.float32) / 255.0
+        elif has_depth:
             depth = depth_to_meters(batch["depth"])
-            return depth_to_hha_batch(
+            hha = depth_to_hha_batch(
                 depth, default_intrinsics(depth.shape[1], depth.shape[2])
             ) / 255.0
+        if hha is not None and input_ch == 6:
+            return hha
+        if hha is not None and has_boundary:
+            # boundary-as-input-channel (SURVEY.md section 2 '+boundary [?]'):
+            # nonzero-edge map as a 7th channel next to RGB+HHA
+            bnd = (batch["boundary"] > 0).astype(jnp.float32)[..., None]
+            return jnp.concatenate([hha, bnd], axis=-1)
+        if input_ch == 7:
+            raise ValueError(
+                "input_ch=7 needs 'boundary' plus 'hha'/'depth' in the batch")
     elif input_ch in (1, 4):
         if has_depth:
             depth = depth_to_meters(batch["depth"])
@@ -172,7 +188,10 @@ def _extra_channels(
             return batch["hha"][..., 0:1].astype(jnp.float32) / 255.0
         if "ir" in batch and batch["ir"] is not None:  # multispectral 4th ch
             return batch["ir"].astype(jnp.float32)[..., None] / 255.0
-    raise ValueError(f"input_ch={input_ch} needs 'hha'/'depth'/'ir' in the batch")
+        if has_boundary:  # edge map as the 4th channel (rgb+boundary)
+            return (batch["boundary"] > 0).astype(jnp.float32)[..., None]
+    raise ValueError(
+        f"input_ch={input_ch} needs 'hha'/'depth'/'ir'/'boundary' in the batch")
 
 
 def make_train_preprocess(
@@ -206,7 +225,7 @@ def make_train_preprocess(
     else:
         pre = target
     _, remap_src_np, _, _ = get_label_spec(cfg.src_dataset)
-    needs_hha = cfg.input_ch in (4, 6) or (cfg.input_ch == 1)
+    needs_hha = cfg.input_ch in (1, 4, 6, 7)
 
     def preprocess(batch: Dict[str, jnp.ndarray], key: jax.Array,
                    remap_table: Optional[np.ndarray] = None):
@@ -302,7 +321,7 @@ def make_eval_preprocess(cfg: DataConfig) -> Callable:
     tw, th = cfg.test_img_shape
     target = (th, tw)
     _, remap_tbl_np, _, _ = get_label_spec(cfg.tgt_dataset)
-    needs_hha = cfg.input_ch in (4, 6) or (cfg.input_ch == 1)
+    needs_hha = cfg.input_ch in (1, 4, 6, 7)
 
     def preprocess(batch: Dict[str, jnp.ndarray],
                    remap_table: Optional[np.ndarray] = None):

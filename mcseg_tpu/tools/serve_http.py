@@ -70,12 +70,14 @@ def _decode_plane(b64: str, kind: str, h: int, w: int,
                     return native.decode_depth16(path, h, w)
                 if kind == "hha":
                     return native.decode_rgb(path, h, w)
-                return native.decode_gray(path, h, w)  # ir
+                return native.decode_gray(path, h, w)  # ir / boundary
             except IOError:
                 pass
         img = Image.open(io.BytesIO(raw))
         if kind == "image" or kind == "hha":
             img = img.convert("RGB")
+        elif kind in ("ir", "boundary"):
+            img = img.convert("L")
         size = (w, h)
         if img.size != size:
             img = img.resize(size, Image.BILINEAR if kind == "image" else Image.NEAREST)

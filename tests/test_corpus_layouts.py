@@ -54,7 +54,7 @@ def make_gta5(root, n=2):
 
 
 def make_nyu_like(root, n=2, splits=("train", "val"), with_depth=True,
-                  with_hha=False):
+                  with_hha=False, with_boundary=False):
     for split in splits:
         for i in range(n):
             stem = f"{i:05d}"
@@ -66,6 +66,9 @@ def make_nyu_like(root, n=2, splits=("train", "val"), with_depth=True,
                 _png(os.path.join(root, f"{split}_depth", stem + ".png"), d)
             if with_hha:
                 _png(os.path.join(root, f"{split}_hha", stem + ".png"), _rgb())
+            if with_boundary:
+                b = (RNG.rand(32, 64) < 0.1).astype(np.uint8) * 255
+                _png(os.path.join(root, f"{split}_boundary", stem + ".png"), b)
 
 
 def make_synthia(root, n=2):

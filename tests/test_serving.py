@@ -145,8 +145,14 @@ def test_export_extra_plane_validation():
                        platforms=("cpu",), extra_plane="depth")
     with pytest.raises(ValueError, match="must be"):
         export_serving(cfg, state.params, state.batch_stats, "/tmp/x.shlo",
+                       platforms=("cpu",), extra_plane="edges")
+    with pytest.raises(ValueError, match="conflicts with"):
+        export_serving(cfg, state.params, state.batch_stats, "/tmp/x.shlo",
                        platforms=("cpu",), extra_plane="boundary")
     cfg6, state6 = _setup(input_ch=6)
+    with pytest.raises(ValueError, match="only valid for input_ch 4"):
+        export_serving(cfg6, state6.params, state6.batch_stats, "/tmp/x.shlo",
+                       platforms=("cpu",), extra_plane="boundary")
     with pytest.raises(ValueError, match="only valid for input_ch 1/4"):
         export_serving(cfg6, state6.params, state6.batch_stats, "/tmp/x.shlo",
                        platforms=("cpu",), extra_plane="ir")
@@ -501,3 +507,36 @@ def test_export_serving_is_atomic(tmp_path, monkeypatch):
     export_serving(cfg, state.params, state.batch_stats, path,
                    batch=1, platforms=("cpu",))
     assert os.path.exists(path) and os.path.exists(path + ".json")
+
+
+def test_export_boundary_input_channel(tmp_path):
+    # input_ch=7 (rgb+hha+boundary): artifact ingests image + depth (HHA
+    # encoded on device) + the implicit uint8 boundary plane
+    cfg, state = _setup(input_ch=7)
+    path = str(tmp_path / "m7.shlo")
+    m = export_serving(cfg, state.params, state.batch_stats, path,
+                       batch=1, platforms=("cpu",))
+    assert set(m["input_spec"]) == {"image", "depth", "boundary"}
+    rng = np.random.RandomState(4)
+    batch = {
+        "image": rng.randint(0, 255, (1, 32, 32, 3)).astype(np.uint8),
+        "depth": (rng.rand(1, 32, 32) * 4 + 0.5).astype(np.float32),
+        "boundary": (rng.rand(1, 32, 32) < 0.1).astype(np.uint8) * 255,
+    }
+    assert np.asarray(load_serving(path)(batch)).shape == (1, 32, 32)
+
+
+def test_export_input_ch4_boundary_plane(tmp_path):
+    # input_ch=4 with extra_plane='boundary' (rgb+boundary, no depth corpus)
+    cfg, state = _setup(input_ch=4)
+    path = str(tmp_path / "m4b.shlo")
+    m = export_serving(cfg, state.params, state.batch_stats, path,
+                       batch=1, platforms=("cpu",), extra_plane="boundary")
+    assert m["extra_plane"] == "boundary"
+    assert set(m["input_spec"]) == {"image", "boundary"}
+    rng = np.random.RandomState(5)
+    batch = {
+        "image": rng.randint(0, 255, (1, 32, 32, 3)).astype(np.uint8),
+        "boundary": (rng.rand(1, 32, 32) < 0.1).astype(np.uint8) * 255,
+    }
+    assert np.asarray(load_serving(path)(batch)).shape == (1, 32, 32)
