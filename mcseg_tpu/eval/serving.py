@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from mcseg_tpu.core.config import ExperimentConfig
+from mcseg_tpu.models.factory import _dtype_of
 
 
 def make_serve_fn(
@@ -70,7 +71,8 @@ def make_serve_fn(
                              "(no 'D' depth-head subtree in params)")
         from mcseg_tpu.models.heads import DepthRegressor
 
-        d_head = DepthRegressor(upsample=cfg.model.upsample)
+        d_head = DepthRegressor(upsample=cfg.model.upsample,
+                                dtype=_dtype_of(cfg.model))
 
     def serve(batch):
         if "image" not in batch:

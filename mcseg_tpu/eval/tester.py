@@ -22,7 +22,7 @@ from mcseg_tpu.core.config import ExperimentConfig
 from mcseg_tpu.data.datasets import get_dataset
 from mcseg_tpu.data.labels import get_label_spec
 from mcseg_tpu.eval.metrics import fast_hist, format_iou_table, miou_from_hist
-from mcseg_tpu.models.factory import get_models
+from mcseg_tpu.models.factory import _dtype_of, get_models
 from mcseg_tpu.ops.preprocess import make_eval_preprocess
 from mcseg_tpu.train.apply import apply_classifier, apply_generator
 from mcseg_tpu.utils.util import mkdir_if_not_exist
@@ -113,12 +113,14 @@ def make_eval_step(cfg: ExperimentConfig, average_classifiers: bool = True,
     if with_depth:
         from mcseg_tpu.models.heads import DepthRegressor
 
-        d_head = DepthRegressor(upsample=cfg.model.upsample)
+        d_head = DepthRegressor(upsample=cfg.model.upsample,
+                                dtype=_dtype_of(cfg.model))
     b_head = None
     if with_boundary:
         from mcseg_tpu.models.heads import BoundaryDetector
 
-        b_head = BoundaryDetector(upsample=cfg.model.upsample)
+        b_head = BoundaryDetector(upsample=cfg.model.upsample,
+                                  dtype=_dtype_of(cfg.model))
 
     @jax.jit
     def eval_step(params, batch_stats, raw_batch):

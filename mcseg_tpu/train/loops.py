@@ -258,7 +258,8 @@ def train_multitask(
         make_multitask_source_step,
     )
 
-    b_head = (BoundaryDetector(upsample=cfg.model.upsample)
+    b_head = (BoundaryDetector(upsample=cfg.model.upsample,
+                               dtype=_dtype_of(cfg.model))
               if boundary_weight > 0 else None)
 
     mesh = mesh or make_mesh()

@@ -33,7 +33,7 @@ from mcseg_tpu.losses.seg import (
     boundary_targets_from_labels,
     cross_entropy_2d,
 )
-from mcseg_tpu.models.factory import get_models, init_models
+from mcseg_tpu.models.factory import _dtype_of, get_models, init_models
 from mcseg_tpu.models.heads import BoundaryDetector, DepthRegressor
 from mcseg_tpu.train.apply import apply_classifier, apply_generator
 from mcseg_tpu.train.optim import get_optimizer, make_lr_schedule, set_lr
@@ -57,7 +57,8 @@ def init_multitask_state(
     k_init, k_d, k_b, k_state = jax.random.split(rng, 4)
     variables = init_models(model_cfg, k_init, img_shape=img_shape)
     g, _, _ = get_models(model_cfg)
-    d_head = DepthRegressor(upsample=model_cfg.upsample)
+    d_head = DepthRegressor(upsample=model_cfg.upsample,
+                            dtype=_dtype_of(model_cfg))
     x = jnp.zeros((1, *img_shape, model_cfg.input_ch), jnp.float32)
     gv = {"params": variables["params"]["G"]}
     if variables["batch_stats"]["G"]:
@@ -68,7 +69,8 @@ def init_multitask_state(
     params = dict(variables["params"])
     params["D"] = dv["params"]
     if with_boundary:
-        b_head = BoundaryDetector(upsample=model_cfg.upsample)
+        b_head = BoundaryDetector(upsample=model_cfg.upsample,
+                                  dtype=_dtype_of(model_cfg))
         params["B"] = b_head.init({"params": k_b}, feat, False)["params"]
     tx_g = get_optimizer(train_cfg.opt, train_cfg.lr, train_cfg.momentum,
                          train_cfg.weight_decay)

@@ -207,3 +207,275 @@ def test_mcd_fp64_trajectory_parity(enable_x64):
             _named_leaves(exp_sg, skip_suffix=("['var']",))):
         err = np.max(np.abs(o - t))
         assert err < 1e-6 * (1.0 + np.max(np.abs(t))), (name, err)
+
+
+# ---------------------------------------------------------------------------
+# Source-only and multitask trainers: the same 30-step fp64 methodology.
+# The MCD test above pins the adapt loop; these pin the OTHER two trainer
+# families' time evolution (SURVEY.md sections 3.1 / 2 multitask row) —
+# poly-LR cadence, BN drift, momentum, and the multitask loss weighting
+# (seg + w_d*berHu + w_b*balancedBCE) compounding over tens of steps.
+# ---------------------------------------------------------------------------
+
+
+def _sgd_pair(tg, heads):
+    opt_g = torch.optim.SGD(tg.parameters(), lr=LR, momentum=MOM)
+    f_params = [p for m in heads for p in m.parameters() if p.requires_grad]
+    opt_f = torch.optim.SGD(f_params, lr=LR, momentum=MOM)
+    return opt_g, opt_f
+
+
+def _set_lr(opts, lr):
+    for opt in opts:
+        for group in opt.param_groups:
+            group["lr"] = lr
+
+
+@pytest.mark.slow
+def test_source_fp64_trajectory_parity(enable_x64):
+    """30 iterations of the source_trainer loop (SURVEY.md section 3.1):
+    loss = CE(F1(G(x)), y) + CE(F2(G(x)), y), one SGD step for BOTH
+    optimizers, poly LR per iteration."""
+    torch.manual_seed(1)
+    tg = TorchDRND22().double()
+    tf1 = _f64_up_weights(TorchF8().double())
+    tf2 = _f64_up_weights(TorchF8().double())
+    init_sds = tuple(copy.deepcopy(m.state_dict()) for m in (tg, tf1, tf2))
+
+    rng = np.random.RandomState(1)
+    batches = []
+    for _ in range(STEPS):
+        xs = rng.rand(B, H, W, 3).astype(np.float64)
+        ys = rng.randint(0, NC, (B, H, W)).astype(np.int64)
+        ys[0, :2] = 255
+        batches.append((xs, ys))
+
+    for m in (tg, tf1, tf2):
+        m.train()
+    opt_g, opt_f = _sgd_pair(tg, (tf1, tf2))
+    torch_losses = []
+    for i, (xs, ys) in enumerate(batches):
+        _set_lr((opt_g, opt_f), _poly_lr(i))
+        t_xs = torch.from_numpy(xs).permute(0, 3, 1, 2)
+        t_ys = torch.from_numpy(ys)
+        opt_g.zero_grad(); opt_f.zero_grad()
+        feat = tg(t_xs)
+        loss = _ce(tf1(feat), t_ys) + _ce(tf2(feat), t_ys)
+        loss.backward(); opt_g.step(); opt_f.step()
+        torch_losses.append(loss.item())
+    final_sds = tuple(copy.deepcopy(m.state_dict()) for m in (tg, tf1, tf2))
+
+    from mcseg_tpu.train.source import make_source_step
+
+    cfg = ModelConfig(net="drn_d_22", input_ch=3, n_class=NC,
+                      dtype="float64", upsample="convt")
+    variables = init_models(cfg, jax.random.key(0), img_shape=(H, W))
+    params, sg = _import_all(*init_sds, variables)
+    tcfg = TrainConfig(opt="sgd", lr=LR, momentum=MOM, weight_decay=0.0,
+                       lr_schedule="poly", lr_power=POWER,
+                       max_steps=MAX_STEPS)
+    tx_g = get_optimizer("sgd", LR, MOM, 0.0)
+    tx_f = get_optimizer("sgd", LR, MOM, 0.0)
+    state = MCDTrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats={"G": sg, "F1": {}, "F2": {}},
+        opt_g=tx_g.init(params["G"]),
+        opt_f=tx_f.init({"F1": params["F1"], "F2": params["F2"]}),
+        rng=jax.random.key(1),
+    )
+    g, f1, f2 = get_models(cfg)
+    step = jax.jit(make_source_step(g, f1, f2, tx_g, tx_f, tcfg))
+
+    ours_losses = []
+    for xs, ys in batches:
+        state, metrics = step(state, jnp.asarray(xs), jnp.asarray(ys))
+        ours_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(ours_losses, torch_losses, rtol=1e-6, atol=1e-9)
+    exp_params, exp_sg = _import_all(*final_sds, variables)
+    for (name, o), (_, t) in zip(_named_leaves(state.params),
+                                 _named_leaves(exp_params)):
+        err = np.max(np.abs(o - t))
+        assert err < 1e-6 * (1.0 + np.max(np.abs(t))), (name, err)
+    for (name, o), (_, t) in zip(
+            _named_leaves(state.batch_stats["G"], skip_suffix=("['var']",)),
+            _named_leaves(exp_sg, skip_suffix=("['var']",))):
+        err = np.max(np.abs(o - t))
+        assert err < 1e-6 * (1.0 + np.max(np.abs(t))), (name, err)
+
+
+class _TorchAuxHead(tnn.Module):
+    """Torch mirror of DepthRegressor/BoundaryDetector with upsample='convt':
+    1x1 conv to 1 channel + fixed-bilinear 8x ConvTranspose2d (fp64 taps)."""
+
+    def __init__(self, name, cin=512):
+        super().__init__()
+        from mcseg_tpu.models.heads import bilinear_kernel
+
+        self.score = tnn.Conv2d(cin, 1, 1)
+        self.up = tnn.ConvTranspose2d(1, 1, 16, 8, 4, bias=False)
+        with torch.no_grad():
+            k = torch.from_numpy(bilinear_kernel(16, dtype=np.float64))
+            self.up.weight.copy_(k[None, None])
+        self.up.weight.requires_grad_(False)
+        self._name = name
+
+    def forward(self, x):
+        return self.up(self.score(x))
+
+
+def _torch_berhu(pred, target):
+    """losses/seg.py:berhu_loss mirror: c = max|err|/5 over valid pixels,
+    valid = finite & positive target, mean over valid."""
+    err = pred - target
+    valid = torch.isfinite(target) & (target > 0)
+    err = torch.where(valid, err, torch.zeros_like(err))
+    abs_err = err.abs()
+    c = torch.clamp(abs_err.max() / 5.0, min=1e-6)
+    quad = (err * err + c * c) / (2.0 * c)
+    loss = torch.where(abs_err <= c, abs_err, quad)
+    return loss.sum() / valid.sum().clamp(min=1).to(loss.dtype)
+
+
+def _torch_balanced_bce(logits, targets, valid):
+    """losses/seg.py:balanced_bce_2d mirror (HED-style class reweighting)."""
+    validf = valid.double()
+    n_pos = (targets * validf).sum()
+    n = validf.sum().clamp(min=1.0)
+    beta = n_pos / n
+    w = torch.where(targets > 0.5, 1.0 - beta, beta) * validf
+    bce = (torch.clamp(logits, min=0.0) - logits * targets
+           + torch.log1p(torch.exp(-logits.abs())))
+    return (w * bce).sum() / w.sum().clamp(min=1e-6)
+
+
+def _import_aux(sd, name):
+    """Torch 1x1-conv head STATE DICT -> flax {name: {kernel, bias}} subtree
+    (a state-dict snapshot, not the live module — the torch loop mutates the
+    module in place, so importing from it after training would hand jax the
+    final weights as its starting point)."""
+    w = sd["score.weight"].numpy()  # [1, cin, 1, 1]
+    return {name: {
+        "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+        "bias": jnp.asarray(sd["score.bias"].numpy()),
+    }}
+
+
+@pytest.mark.slow
+def test_multitask_fp64_trajectory_parity(enable_x64):
+    """20 iterations of the multitask source step: CE(F1)+CE(F2)
+    + w_d*berHu(depth) + w_b*balancedBCE(boundary), both aux heads live,
+    poly LR per iteration. Pins the loss weighting and the aux heads'
+    optimizer/BN coupling over time (no prior torch-parity existed for the
+    multitask family)."""
+    W_D, W_B, N_STEPS = 0.5, 0.3, 20
+    torch.manual_seed(2)
+    tg = TorchDRND22().double()
+    tf1 = _f64_up_weights(TorchF8().double())
+    tf2 = _f64_up_weights(TorchF8().double())
+    td = _TorchAuxHead("depth").double()
+    tb = _TorchAuxHead("boundary").double()
+    init_sds = tuple(copy.deepcopy(m.state_dict()) for m in (tg, tf1, tf2))
+    init_aux = tuple(copy.deepcopy(m.state_dict()) for m in (td, tb))
+
+    from mcseg_tpu.losses.seg import boundary_targets_from_labels
+
+    rng = np.random.RandomState(2)
+    batches = []
+    for _ in range(N_STEPS):
+        xs = rng.rand(B, H, W, 3).astype(np.float64)
+        ys = rng.randint(0, NC, (B, H, W)).astype(np.int64)
+        ys[0, :2] = 255
+        dep = (rng.rand(B, H, W) * 4 + 0.5).astype(np.float64)
+        dep[1, :3] = 0.0  # invalid-depth masking active on every step
+        # boundary targets derived from labels — computed ONCE with the jax
+        # derivation (its own correctness is pinned by tests/test_multitask)
+        # so both frameworks supervise on identical targets
+        tgt, val = boundary_targets_from_labels(jnp.asarray(ys))
+        batches.append((xs, ys, dep, np.array(tgt, np.float64),
+                        np.array(val)))
+
+    for m in (tg, tf1, tf2, td, tb):
+        m.train()
+    opt_g = torch.optim.SGD(tg.parameters(), lr=LR, momentum=MOM)
+    f_params = [p for m in (tf1, tf2, td, tb) for p in m.parameters()
+                if p.requires_grad]
+    opt_f = torch.optim.SGD(f_params, lr=LR, momentum=MOM)
+    torch_losses = []
+    for i, (xs, ys, dep, btgt, bval) in enumerate(batches):
+        _set_lr((opt_g, opt_f), _poly_lr(i))
+        t_xs = torch.from_numpy(xs).permute(0, 3, 1, 2)
+        t_ys = torch.from_numpy(ys)
+        opt_g.zero_grad(); opt_f.zero_grad()
+        feat = tg(t_xs)
+        seg = _ce(tf1(feat), t_ys) + _ce(tf2(feat), t_ys)
+        l_dep = _torch_berhu(td(feat)[:, 0], torch.from_numpy(dep))
+        l_bnd = _torch_balanced_bce(tb(feat)[:, 0], torch.from_numpy(btgt),
+                                    torch.from_numpy(bval))
+        loss = seg + W_D * l_dep + W_B * l_bnd
+        loss.backward(); opt_g.step(); opt_f.step()
+        torch_losses.append((loss.item(), l_dep.item(), l_bnd.item()))
+    final_sds = tuple(copy.deepcopy(m.state_dict()) for m in (tg, tf1, tf2))
+    final_aux = (copy.deepcopy(td.state_dict()), copy.deepcopy(tb.state_dict()))
+
+    from mcseg_tpu.models.heads import BoundaryDetector, DepthRegressor
+    from mcseg_tpu.train.multitask import make_multitask_source_step
+
+    cfg = ModelConfig(net="drn_d_22", input_ch=3, n_class=NC,
+                      dtype="float64", upsample="convt")
+    variables = init_models(cfg, jax.random.key(0), img_shape=(H, W))
+    params, sg = _import_all(*init_sds, variables)
+    params["D"] = _import_aux(init_aux[0], "depth")
+    params["B"] = _import_aux(init_aux[1], "boundary")
+    tcfg = TrainConfig(opt="sgd", lr=LR, momentum=MOM, weight_decay=0.0,
+                       lr_schedule="poly", lr_power=POWER,
+                       max_steps=MAX_STEPS)
+    tx_g = get_optimizer("sgd", LR, MOM, 0.0)
+    tx_f = get_optimizer("sgd", LR, MOM, 0.0)
+    state = MCDTrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats={"G": sg, "F1": {}, "F2": {}},
+        opt_g=tx_g.init(params["G"]),
+        opt_f=tx_f.init({k: params[k] for k in ("F1", "F2", "D", "B")}),
+        rng=jax.random.key(1),
+    )
+    g, f1, f2 = get_models(cfg)
+    # fp64 head compute (building this test caught the production leak:
+    # aux-head construction sites never passed the model dtype — f32-crushed
+    # under an f64 config; all five sites now thread _dtype_of(model_cfg))
+    d_head = DepthRegressor(upsample="convt", dtype=jnp.float64)
+    b_head = BoundaryDetector(upsample="convt", dtype=jnp.float64)
+    step = jax.jit(make_multitask_source_step(
+        g, f1, f2, d_head, tx_g, tx_f, tcfg, depth_weight=W_D,
+        b_head=b_head, boundary_weight=W_B))
+
+    ours_losses = []
+    for xs, ys, dep, _, _ in batches:
+        state, metrics = step(state, jnp.asarray(xs), jnp.asarray(ys),
+                              jnp.asarray(dep))
+        ours_losses.append((float(metrics["loss"]),
+                            float(metrics["loss_depth"]),
+                            float(metrics["loss_boundary"])))
+
+    np.testing.assert_allclose(np.asarray(ours_losses),
+                               np.asarray(torch_losses),
+                               rtol=1e-6, atol=1e-9)
+    exp_params, exp_sg = _import_all(*final_sds, variables)
+    sub_ours = {k: state.params[k] for k in ("G", "F1", "F2")}
+    for (name, o), (_, t) in zip(_named_leaves(sub_ours),
+                                 _named_leaves(exp_params)):
+        err = np.max(np.abs(o - t))
+        assert err < 1e-6 * (1.0 + np.max(np.abs(t))), (name, err)
+    # aux heads evolved identically too
+    for head_key, sd in zip(("D", "B"), final_aux):
+        w = sd["score.weight"].numpy().transpose(2, 3, 1, 0)
+        b = sd["score.bias"].numpy()
+        sub = state.params[head_key][
+            "depth" if head_key == "D" else "boundary"]
+        assert np.max(np.abs(np.asarray(sub["kernel"]) - w)) < 1e-6
+        assert np.max(np.abs(np.asarray(sub["bias"]) - b)) < 1e-6
+    for (name, o), (_, t) in zip(
+            _named_leaves(state.batch_stats["G"], skip_suffix=("['var']",)),
+            _named_leaves(exp_sg, skip_suffix=("['var']",))):
+        err = np.max(np.abs(o - t))
+        assert err < 1e-6 * (1.0 + np.max(np.abs(t))), (name, err)
