@@ -147,3 +147,31 @@ def test_cli_accepts_input_ch7():
     cfg = args_to_config(
         p.parse_args(["suncg", "nyu", "--input_ch", "7"]), adapt=True)
     assert cfg.model.input_ch == 7 and cfg.data.input_ch == 7
+
+
+def test_prepare_boundary_matches_on_device_targets(tmp_path):
+    """The offline tool's edge rule is numerically identical to the aux-head
+    target derivation (losses/seg.py:boundary_targets_from_labels)."""
+    from PIL import Image
+
+    from mcseg_tpu.losses.seg import boundary_targets_from_labels
+    from mcseg_tpu.tools.prepare_boundary import labels_to_boundary, main
+
+    rng = np.random.RandomState(11)
+    lbl = rng.randint(0, 6, (24, 32)).astype(np.uint8)
+    lbl[3, :5] = 255  # ignore region: edges against it are NOT boundaries
+    offline = labels_to_boundary(lbl)
+    tgt, _ = boundary_targets_from_labels(jnp.asarray(lbl)[None])
+    np.testing.assert_array_equal(offline > 0, np.asarray(tgt[0]) > 0.5)
+
+    # CLI round-trip: labels dir -> boundary dir the datasets layer loads
+    lbl_dir = tmp_path / "train_label"
+    lbl_dir.mkdir()
+    Image.fromarray(lbl).save(lbl_dir / "00000.png")
+    out_dir = tmp_path / "train_boundary"
+    assert main([str(lbl_dir), str(out_dir)]) == 0
+    back = np.asarray(Image.open(out_dir / "00000.png"))
+    np.testing.assert_array_equal(back, offline)
+    # --dilate thickens: strictly more edge pixels on a non-trivial map
+    thick = labels_to_boundary(lbl, dilate=1)
+    assert (thick > 0).sum() > (offline > 0).sum()
