@@ -15,9 +15,14 @@ Layout (one directory per (corpus, split, geometry)):
     <dir>/filled.u8     uint8[cached_n]   1 = row is valid
     <dir>/<plane>.raw   dtype[cached_n, *shape] per plane (image/label/...)
 
-The ``key`` fingerprints the sample file list + decode geometry; any change
-(different corpus contents, different decode_size) wipes and rebuilds instead
-of silently serving stale pixels. The cache stores exactly what
+The ``key`` fingerprints the sample file list + each file's (st_size,
+st_mtime_ns) + decode geometry; any change (different corpus contents —
+including a file regenerated IN PLACE, e.g. boundary maps re-made with a
+different --dilate — or different decode_size) wipes and rebuilds instead
+of silently serving stale pixels. A budget-only change
+(--decode_disk_cache_gb) does NOT wipe: the memmaps are grown (zero-fill =>
+filled=0, decode on demand) or truncated in place, keeping every still-valid
+row. The cache stores exactly what
 ``SegDataset.__getitem__`` returns (uint8 RGB/label/HHA/IR, float32 meters
 depth), so the training stream is bit-identical with the cache on, off, or
 partially filled (tests/test_disk_cache.py).
@@ -53,6 +58,15 @@ def _fingerprint(paths: List[str], sizes: Dict[str, Tuple[int, ...]]) -> str:
     for p in paths:
         h.update(p.encode())
         h.update(b"\0")
+        if p:
+            # content identity: a corpus file regenerated in place (same path,
+            # new bytes) must invalidate the cache (ADVICE r3 #1)
+            try:
+                st = os.stat(p)
+                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                pass
+        h.update(b"\1")
     return h.hexdigest()[:32]
 
 
@@ -94,6 +108,32 @@ class DiskDecodeCache:
             "planes": {name: {"shape": list(shape), "dtype": dt}
                        for name, (shape, dt) in planes.items()},
         }
+
+        def _core(m):
+            # identity fields only — cached_n is a budget artifact, and a mere
+            # --decode_disk_cache_gb change must not rmtree valid rows
+            # (ADVICE r3 #4)
+            return {k: m.get(k) for k in ("version", "key", "n", "planes")}
+
+        if (isinstance(meta, dict) and _core(meta) == _core(expected)
+                and meta.get("cached_n") != self.cached_n):
+            # budget-only change: grow (zero-fill => filled=0, rows decode on
+            # demand) or truncate the memmap files in place
+            try:
+                for name, (shape, dt) in planes.items():
+                    row = int(np.prod(shape)) * np.dtype(dt).itemsize
+                    with open(os.path.join(directory, f"{name}.raw"),
+                              "r+b") as f:
+                        f.truncate(self.cached_n * row)
+                with open(os.path.join(directory, "filled.u8"), "r+b") as f:
+                    f.truncate(self.cached_n)
+                tmp = meta_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(expected, f)
+                os.replace(tmp, meta_path)
+                meta = expected
+            except OSError:
+                meta = None  # torn cache (missing plane file): wipe below
         if meta != expected:
             # stale / foreign / torn cache: wipe and restart (never serve
             # pixels whose provenance doesn't match this corpus + geometry)

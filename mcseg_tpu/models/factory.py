@@ -39,6 +39,14 @@ def get_models(cfg: ModelConfig) -> Tuple[nn.Module, nn.Module, nn.Module]:
     """Build (G, F1, F2) linen modules for a ModelConfig."""
     dt = _dtype_of(cfg)
     if cfg.fusion == "late":
+        if cfg.input_ch != 6:
+            # LateFusionGenerator hard-splits channels [0:3] rgb / [3:6] hha;
+            # any other input_ch would silently drop or misroute planes
+            # (ADVICE r3 #3) — fail loudly instead.
+            raise ValueError(
+                f"--fusion late requires --input_ch 6 (rgb+hha), got "
+                f"input_ch={cfg.input_ch}; use early fusion (single trunk) "
+                "for other channel stacks")
         g = LateFusionGenerator(net=cfg.net, dtype=dt, s2d=cfg.s2d)
         f1 = LateFusionClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)
         f2 = LateFusionClassifier(cfg.n_class, upsample=cfg.upsample, dtype=dt)

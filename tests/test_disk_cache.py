@@ -167,6 +167,109 @@ def test_zip_dataset_and_ram_cache_interplay(tmp_path):
             np.testing.assert_array_equal(bt[k], ct[k])
 
 
+def test_inplace_file_regeneration_invalidates(tmp_path):
+    """Same paths, same n, NEW bytes (e.g. boundary maps re-made with another
+    --dilate): the (st_size, st_mtime_ns) fingerprint must wipe the cache
+    instead of serving the stale decode (ADVICE r3 #1)."""
+    import time
+
+    from PIL import Image
+
+    root = str(tmp_path / "corpus")
+    make_nyu_like(root, n=3, splits=("train",))
+    cache_dir = str(tmp_path / "cache")
+    ds = get_dataset("nyu", _cfg(root, cache_dir), "train")
+    _epoch_batches(ds)
+    assert ds._disk.has(0)
+    old0 = ds._disk.get(0)["image"].copy()
+
+    # regenerate sample 0's RGB in place with different pixels
+    p = ds.samples[0]["rgb"]
+    time.sleep(0.01)  # guarantee a distinct mtime even on coarse clocks
+    Image.fromarray(np.full((32, 64, 3), 200, np.uint8)).save(p)
+
+    ds2 = get_dataset("nyu", _cfg(root, cache_dir), "train")
+    assert ds2._disk is not None
+    assert not ds2._disk.has(0)  # wiped, not served stale
+    fresh = ds2[0]["image"]
+    assert not np.array_equal(fresh, old0)
+    assert (fresh == 200).mean() > 0.9
+
+
+def test_budget_change_resizes_in_place(tmp_path, monkeypatch):
+    """--decode_disk_cache_gb grow keeps every filled row (no re-decode);
+    shrink truncates instead of wiping (ADVICE r3 #4)."""
+    root = str(tmp_path / "corpus")
+    make_nyu_like(root, n=6, splits=("train",))
+    cache_dir = str(tmp_path / "cache")
+    dw, dh = 640, 480
+    per_sample = dw * dh * 8 + 1  # rgb u8*3 + label u8 + depth f32
+
+    cfg_small = _cfg(root, cache_dir, gb=2.5 * per_sample / 1e9)
+    ds = get_dataset("nyu", cfg_small, "train")
+    assert ds._disk.cached_n == 2
+    _epoch_batches(ds)
+    assert ds._disk.has(0) and ds._disk.has(1)
+    row0 = {k: v.copy() for k, v in ds._disk.get(0).items()}
+
+    # GROW: rows 0..1 must survive; reading them decodes nothing
+    ds_big = get_dataset(
+        "nyu", _cfg(root, cache_dir, gb=4.5 * per_sample / 1e9), "train")
+    assert ds_big._disk.cached_n == 4
+    assert ds_big._disk.has(0) and ds_big._disk.has(1)
+    assert not ds_big._disk.has(2)  # grown region starts empty
+    _forbid_decode(monkeypatch, ds_big)
+    got = ds_big[0]
+    for k in row0:
+        np.testing.assert_array_equal(got[k], row0[k])
+    monkeypatch.undo()
+
+    # SHRINK back: row 0 still filled, rows beyond cached_n gone
+    ds_shrunk = get_dataset("nyu", cfg_small, "train")
+    assert ds_shrunk._disk.cached_n == 2
+    assert ds_shrunk._disk.has(0)
+    for k in row0:
+        np.testing.assert_array_equal(ds_shrunk._disk.get(0)[k], row0[k])
+
+
+def test_decode_size_mutation_reopens_automatically(tmp_path):
+    """Mutating ds.decode_size after construction (the bench.py pattern) must
+    transparently re-key the disk cache to the new geometry — no manual
+    re-open, no old-resolution rows (ADVICE r3 #2)."""
+    root = str(tmp_path / "corpus")
+    make_nyu_like(root, n=3, splits=("train",))
+    cache_dir = str(tmp_path / "cache")
+
+    ds = get_dataset("nyu", _cfg(root, cache_dir), "train")
+    dir_a = ds._disk.dir
+    _epoch_batches(ds)
+    assert ds._disk.has(0)
+
+    ds.decode_size = (32, 16)  # mutate AFTER the cache was touched
+    assert ds._disk.dir != dir_a  # property re-opened at the new geometry
+    s = ds[0]
+    assert s["image"].shape == (16, 32, 3)
+    batch = ds.get_batch([0, 1])
+    assert batch["image"].shape == (2, 16, 32, 3)
+
+
+def test_late_fusion_rejects_wrong_input_ch():
+    """fusion='late' hard-splits channels [0:3]/[3:6]; any other input_ch is
+    a loud error, never a silent plane drop (ADVICE r3 #3)."""
+    from mcseg_tpu.core.config import ModelConfig
+    from mcseg_tpu.models.factory import get_models
+
+    with pytest.raises(ValueError, match="input_ch 6"):
+        get_models(ModelConfig(net="drn_d_22", input_ch=7, n_class=5,
+                               fusion="late"))
+    with pytest.raises(ValueError, match="input_ch 6"):
+        get_models(ModelConfig(net="drn_d_22", input_ch=4, n_class=5,
+                               fusion="late"))
+    g, f1, f2 = get_models(ModelConfig(net="drn_d_22", input_ch=6, n_class=5,
+                                       fusion="late"))
+    assert g is not None
+
+
 def test_unwritable_corpus_root_disables_gracefully(tmp_path, capsys):
     root = str(tmp_path / "corpus")
     make_nyu_like(root, n=2, splits=("train",))
