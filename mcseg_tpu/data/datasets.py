@@ -208,6 +208,13 @@ class SegDataset:
             b = b.resize(self.decode_size, Image.NEAREST)
         return np.asarray(b, np.uint8)
 
+    def _cache_accepting(self) -> bool:
+        """Whether the RAM cache could accept ANY further insert — callers
+        use this to skip building per-sample copies that _cache_put would
+        reject (disabled or full budget)."""
+        cache = getattr(self, "_cache", None)
+        return cache is not None and self._cache_bytes < self._cache_budget
+
     def _cache_put(self, i: int, sample: Dict[str, np.ndarray]) -> None:
         nbytes = sum(v.nbytes for v in sample.values())
         with self._cache_lock:
@@ -279,11 +286,16 @@ class SegDataset:
         # as ONE fancy-index per plane straight off the memmaps
         disk = getattr(self, "_disk", None)
         from_disk: Dict[int, Dict[str, np.ndarray]] = {}
+        # RAM-cache inserts below are guarded by _cache_accepting(): with the
+        # RAM tier disabled (decode_cache_gb=0) or already full, building the
+        # per-sample copies just to have _cache_put reject them cost ~25% of
+        # the disk-cache steady state (measured: the bench's oversized-corpus
+        # path copies b x ~2.5 MB per batch for nothing)
         if disk is not None and missing:
             if len(missing) == len(idx) and disk.has_many(idx):
                 out = disk.get_many(idx)
                 self._bump("disk_hits", len(idx))
-                if cache is not None:
+                if self._cache_accepting():
                     for k, i in enumerate(idx):
                         self._cache_put(
                             i, {key: v[k].copy() for key, v in out.items()})
@@ -343,7 +355,7 @@ class SegDataset:
                 disk.put(i, {key: v[k] for key, v in out.items()})
         self._bump("decodes", len(missing))
         if len(missing) == len(idx):
-            if cache is not None:
+            if self._cache_accepting():
                 for k, i in enumerate(missing):
                     # per-sample copies, not views: a view would pin the whole
                     # batch buffer while being accounted at slice size

@@ -198,3 +198,22 @@ def test_console_script_targets_resolve():
     for module, attr in entries:
         m = importlib.import_module(module)
         assert callable(getattr(m, attr)), f"{module}:{attr}"
+
+
+def test_profile_input_pipeline_tool(tmp_path, capsys):
+    """The per-stage input-pipeline profiler (VERDICT r3 #6's observability
+    tool) runs end to end on a tiny synthetic corpus and reports a
+    decode-free steady state (disk tier serving, decodes only in epoch 1)."""
+    from mcseg_tpu.tools.profile_input_pipeline import main
+
+    main(["--data_root", str(tmp_path / "c"), "--synth", "6",
+          "--batch", "2", "--img_shape", "64x32", "--num_workers", "2",
+          "--windows", "2", "--steps_per_window", "2"])
+    out = capsys.readouterr().out
+    assert "batch_iterator steady state" in out
+    assert "wire_format" in out
+    # the timed windows must ride the disk tier, never re-decode (epoch-1
+    # decode totals are thread-timing dependent: concurrent prefetch workers
+    # may double-decode a sample before the cache put lands, so assert on
+    # the steady-state delta instead of the raw total)
+    assert "timed-window decodes: 0" in out

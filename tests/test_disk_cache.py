@@ -299,3 +299,40 @@ def test_cli_flag_plumbing():
     cfg0 = args_to_config(p.parse_args(["synthetic", "synthetic"]), adapt=True)
     assert cfg0.data.decode_disk_cache_gb == 0.0
     assert cfg0.data.decode_cache_gb == 4.0  # RAM cache default stays on
+
+
+def test_disabled_ram_tier_skips_dead_copies_but_promotion_still_works(tmp_path):
+    """The round-4 steady-state fix (_cache_accepting): with the RAM tier
+    disabled (decode_cache_gb=0) the disk path must not populate the RAM
+    cache (it used to build per-sample copies only for _cache_put to reject
+    them — 45 -> ~1250 img/s once removed), while with the tier enabled disk
+    hits still PROMOTE into RAM (ram_hits on the following epoch)."""
+    root = str(tmp_path / "corpus")
+    make_nyu_like(root, n=4, splits=("train",))
+
+    # RAM tier off: disk hits serve every epoch >= 2 batch, RAM stays empty
+    ds = get_dataset("nyu", _cfg(root, str(tmp_path / "c1"), gb=1.0), "train")
+    _epoch_batches(ds)          # epoch 1: decode + fill disk
+    warm = _epoch_batches(ds)   # epoch 2: whole-batch disk path
+    assert ds.io_stats["disk_hits"] == len(ds)
+    assert len(ds._cache) == 0 and ds._cache_bytes == 0
+    # and the stream matches a cache-free dataset exactly
+    plain = get_dataset("nyu", _cfg(root, "", gb=0.0), "train")
+    _assert_batches_equal(warm, _epoch_batches(plain))
+
+    # RAM tier on: epoch 2 disk hits promote, epoch 3 rides RAM
+    cfg = DataConfig(
+        src_dataset="nyu", tgt_dataset="nyu", data_root=root, batch_size=2,
+        train_img_shape=(W, H), test_img_shape=(W, H),
+        decode_cache_gb=1.0, decode_disk_cache_gb=1.0,
+        decode_disk_cache_dir=str(tmp_path / "c2"))
+    ds2 = get_dataset("nyu", cfg, "train")
+    _epoch_batches(ds2)   # decode + fill both tiers... (decodes populate RAM)
+    ds2._cache.clear()
+    ds2._cache_bytes = 0  # force epoch 2 onto the disk tier
+    _epoch_batches(ds2)   # disk hits must promote into RAM
+    assert len(ds2._cache) == len(ds2)
+    before = ds2.io_stats["ram_hits"]
+    ram = _epoch_batches(ds2)   # epoch 3: RAM tier
+    assert ds2.io_stats["ram_hits"] - before == len(ds2)
+    _assert_batches_equal(ram, _epoch_batches(plain))
