@@ -55,6 +55,9 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--keep_checkpoints", type=int, default=0,
                    help="retain only the newest N epoch checkpoints "
                         "(0 = keep all; 'last' is never pruned)")
+    p.add_argument("--sync_checkpoint", action="store_true",
+                   help="write epoch checkpoints synchronously instead of "
+                        "on the background writer thread")
     p.add_argument("--eval_every_epochs", type=int, default=0,
                    help="run mesh-sharded val mIoU at epoch ends (0 = off)")
 
@@ -211,5 +214,6 @@ def args_to_config(args: argparse.Namespace, adapt: bool) -> ExperimentConfig:
         checkpoint_every_epochs=getattr(args, "checkpoint_every_epochs", 1),
         max_hours=getattr(args, "max_hours", 0.0),
         keep_checkpoints=getattr(args, "keep_checkpoints", 0),
+        async_checkpoint=not getattr(args, "sync_checkpoint", False),
     )
     return ExperimentConfig(model=model, data=data, train=train)

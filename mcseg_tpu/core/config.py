@@ -150,6 +150,11 @@ class TrainConfig:
     # older ones after each save; 0 = keep all (reference behavior — one
     # checkpoint per epoch forever). `last` is never pruned.
     keep_checkpoints: int = 0
+    # epoch checkpoints serialize + write on a background thread
+    # (utils/checkpoint.py AsyncCheckpointer) so the train loop never stalls
+    # on disk; loops join before returning, and the final `last` save is
+    # always synchronous. --sync_checkpoint turns this off.
+    async_checkpoint: bool = True
 
     def to_dict(self):
         return _asdict(self)

@@ -31,12 +31,44 @@ from mcseg_tpu.train.mcd import make_mcd_step
 from mcseg_tpu.train.source import make_source_step
 from mcseg_tpu.train.state import create_train_state
 from mcseg_tpu.utils.checkpoint import (
+    AsyncCheckpointer,
     load_checkpoint,
     prune_epoch_checkpoints,
     save_checkpoint,
 )
 from mcseg_tpu.utils.logging import JsonlLogger, StepTimer, make_run_logger
 from mcseg_tpu.utils.util import mkdir_if_not_exist
+
+
+class _EpochSaver:
+    """Epoch-checkpoint policy shared by the three train loops: async by
+    default (AsyncCheckpointer — the loop keeps stepping while the msgpack
+    blob encodes and writes on the background thread), sync under
+    --sync_checkpoint. Retention pruning runs AFTER the write publishes in
+    either mode, so it always sees the checkpoint it accompanies.
+    ``finish`` flushes pending writes, then performs the final ``last`` save
+    synchronously — on return from a loop the run directory is complete and
+    the resume/preemption contracts are unchanged."""
+
+    def __init__(self, cfg: ExperimentConfig, out_dir: str):
+        self._cfg, self._out_dir = cfg, out_dir
+        self._async = AsyncCheckpointer() if cfg.train.async_checkpoint else None
+
+    def save_epoch(self, epoch: int, state) -> None:
+        prefix = os.path.join(self._out_dir, f"ep{epoch}")
+        prune = functools.partial(prune_epoch_checkpoints, self._out_dir,
+                                  self._cfg.train.keep_checkpoints)
+        if self._async is not None:
+            self._async.save(prefix, state, self._cfg, after=prune)
+        else:
+            save_checkpoint(prefix, state, self._cfg)
+            prune()
+
+    def finish(self, state) -> str:
+        if self._async is not None:
+            self._async.close()
+        return save_checkpoint(
+            os.path.join(self._out_dir, "last"), state, self._cfg)
 
 
 def _check_finite(metrics, step) -> None:
@@ -198,6 +230,7 @@ def train_source(
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = _input_stream(dataset, mesh, cfg, start_epoch)
     stop = _GracefulStop().install(cfg.train.max_hours)
+    saver = _EpochSaver(cfg, out_dir)
     try:
         for i, raw in enumerate(it):
             if stop.stop or (i > 0 and stop.expired()) or (max_iterations is not None and i >= max_iterations):
@@ -213,13 +246,12 @@ def train_source(
                 epoch = start_epoch + (i + 1) // steps_per_epoch
                 if (cfg.train.checkpoint_every_epochs > 0
                         and epoch % cfg.train.checkpoint_every_epochs == 0):
-                    save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
-                    prune_epoch_checkpoints(out_dir, cfg.train.keep_checkpoints)
+                    saver.save_epoch(epoch, state)
                 if on_epoch_end:
                     on_epoch_end(epoch, state)
     finally:
         stop.restore()
-    save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
+    saver.finish(state)
     return state
 
 
@@ -339,6 +371,7 @@ def train_multitask(
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = _input_stream(dataset, mesh, cfg, start_epoch)
     stop = _GracefulStop().install(cfg.train.max_hours)
+    saver = _EpochSaver(cfg, out_dir)
     try:
         for i, item in enumerate(it):
             if stop.stop or (i > 0 and stop.expired()) or (max_iterations is not None and i >= max_iterations):
@@ -357,13 +390,12 @@ def train_multitask(
                 epoch = start_epoch + (i + 1) // steps_per_epoch
                 if (cfg.train.checkpoint_every_epochs > 0
                         and epoch % cfg.train.checkpoint_every_epochs == 0):
-                    save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
-                    prune_epoch_checkpoints(out_dir, cfg.train.keep_checkpoints)
+                    saver.save_epoch(epoch, state)
                 if on_epoch_end:
                     on_epoch_end(epoch, state)
     finally:
         stop.restore()
-    save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
+    saver.finish(state)
     return state
 
 
@@ -410,6 +442,7 @@ def train_adapt(
     start_epoch = _start_epoch(cfg, state, steps_per_epoch)
     it = _input_stream(zipped, mesh, cfg, start_epoch)
     stop = _GracefulStop().install(cfg.train.max_hours)
+    saver = _EpochSaver(cfg, out_dir)
     try:
         for i, (src_raw, tgt_raw) in enumerate(it):
             if stop.stop or (i > 0 and stop.expired()) or (max_iterations is not None and i >= max_iterations):
@@ -425,11 +458,10 @@ def train_adapt(
                 epoch = start_epoch + (i + 1) // steps_per_epoch
                 if (cfg.train.checkpoint_every_epochs > 0
                         and epoch % cfg.train.checkpoint_every_epochs == 0):
-                    save_checkpoint(os.path.join(out_dir, f"ep{epoch}"), state, cfg)
-                    prune_epoch_checkpoints(out_dir, cfg.train.keep_checkpoints)
+                    saver.save_epoch(epoch, state)
                 if on_epoch_end:
                     on_epoch_end(epoch, state)
     finally:
         stop.restore()
-    save_checkpoint(os.path.join(out_dir, "last"), state, cfg)
+    saver.finish(state)
     return state

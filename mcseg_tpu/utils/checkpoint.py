@@ -41,6 +41,22 @@ def _state_to_dict(state: MCDTrainState) -> dict:
     }
 
 
+def _write_host_state(prefix: str, host_state: dict, cfg_dict: dict) -> str:
+    """Serialize + atomically publish an already-host-resident snapshot.
+    Runs on the caller thread (sync save) or the writer thread (async)."""
+    mkdir_if_not_exist(os.path.dirname(prefix) or ".")
+    blob = serialization.to_bytes(host_state)
+    path = prefix + ".msgpack"
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    cfg_path = prefix + ".config.json"
+    save_dic_to_json(cfg_dict, cfg_path + ".tmp")
+    os.replace(cfg_path + ".tmp", cfg_path)
+    return path
+
+
 def save_checkpoint(prefix: str, state: MCDTrainState, config: ExperimentConfig) -> str:
     """Write <prefix>.msgpack + <prefix>.config.json; returns the msgpack path.
 
@@ -49,18 +65,92 @@ def save_checkpoint(prefix: str, state: MCDTrainState, config: ExperimentConfig)
     the failure-recovery contract is "rerun with --resume <prefix>"
     (SURVEY.md section 5), which only holds if <prefix> is always either the
     old complete checkpoint or the new complete one."""
-    mkdir_if_not_exist(os.path.dirname(prefix) or ".")
     host_state = jax.device_get(_state_to_dict(state))
-    blob = serialization.to_bytes(host_state)
-    path = prefix + ".msgpack"
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)
-    cfg_path = prefix + ".config.json"
-    save_dic_to_json(config.to_dict(), cfg_path + ".tmp")
-    os.replace(cfg_path + ".tmp", cfg_path)
-    return path
+    return _write_host_state(prefix, host_state, config.to_dict())
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint serialization + disk writes with training.
+
+    ``save()`` snapshots the device state to host memory on the caller
+    thread (the only device-synchronizing part, ~the cost of one
+    device_get), then hands serialization and the atomic file writes to ONE
+    background writer thread — the train loop resumes stepping while the
+    msgpack blob is still being encoded and written. The reference's torch
+    trainers block each epoch on ``torch.save`` (SURVEY.md section 5); on a
+    TPU host the step cadence is fast enough that a multi-hundred-MB
+    synchronous write is a measurable stall, and the write is pure host work
+    the device never needs to wait for.
+
+    Guarantees kept from the sync path:
+      * writes are atomic (same tmp + os.replace) and land in submission
+        order (single worker, FIFO queue);
+      * at most one snapshot is queued (maxsize=1) and one in flight, so
+        peak extra host memory is bounded at ~2x one state snapshot, with
+        back-pressure instead of unbounded growth when the disk can't keep
+        up;
+      * a writer-thread failure is never silent — it re-raises on the next
+        ``save()`` or on ``join()``;
+      * ``join()`` blocks until every accepted write is published — loops
+        call it before the final sync 'last' save, so on return from a
+        training loop the directory is complete (resume/preemption
+        contracts unchanged).
+
+    ``after`` callbacks (e.g. epoch pruning) run on the writer thread AFTER
+    the write publishes — pruning keyed off the filesystem therefore always
+    sees the checkpoint it just wrote.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=1)
+        self._err = None
+        self._lock = threading.Lock()
+        self._thread = threading.Thread(
+            target=self._run, name="mcseg-ckpt-writer", daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            job = self._q.get()
+            try:
+                if job is None:
+                    return
+                prefix, host_state, cfg_dict, after = job
+                _write_host_state(prefix, host_state, cfg_dict)
+                if after is not None:
+                    after()
+            except BaseException as e:  # surfaced on next save()/join()
+                with self._lock:
+                    self._err = e
+            finally:
+                self._q.task_done()
+
+    def _raise_pending(self):
+        with self._lock:
+            err, self._err = self._err, None
+        if err is not None:
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def save(self, prefix: str, state: MCDTrainState,
+             config: ExperimentConfig, after=None) -> None:
+        """Snapshot now (device_get), write in the background."""
+        self._raise_pending()
+        host_state = jax.device_get(_state_to_dict(state))
+        self._q.put((prefix, host_state, config.to_dict(), after))
+
+    def join(self) -> None:
+        """Block until every accepted write has published; re-raise any
+        writer failure."""
+        self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        self.join()
+        self._q.put(None)
+        self._thread.join()
 
 
 def prune_epoch_checkpoints(out_dir: str, keep: int) -> list:

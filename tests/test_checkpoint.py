@@ -167,3 +167,93 @@ def test_keep_checkpoints_in_train_loop(tmp_path):
     eps = sorted(p.name for p in (tmp_path / "run").glob("ep*.msgpack"))
     assert eps == ["ep3.msgpack", "ep4.msgpack"]
     assert (tmp_path / "run" / "last.msgpack").exists()
+
+
+def test_async_checkpointer_roundtrip_and_order(tmp_path):
+    """AsyncCheckpointer: the background write publishes the same bytes the
+    sync path would; writes to one prefix land in submission order; `after`
+    callbacks run AFTER their write is visible on disk (the pruning
+    contract)."""
+    from mcseg_tpu.utils.checkpoint import AsyncCheckpointer
+
+    cfg = _exp_cfg()
+    s1, _, _ = create_train_state(cfg.model, cfg.train, jax.random.key(1),
+                                  img_shape=HW)
+    s2, _, _ = create_train_state(cfg.model, cfg.train, jax.random.key(2),
+                                  img_shape=HW)
+
+    sync_prefix = str(tmp_path / "sync")
+    save_checkpoint(sync_prefix, s2, cfg)
+
+    seen = []
+    ck = AsyncCheckpointer()
+    prefix = str(tmp_path / "ep1")
+    ck.save(prefix, s1, cfg,
+            after=lambda: seen.append(("first", checkpoint_exists(prefix))))
+    ck.save(prefix, s2, cfg,
+            after=lambda: seen.append(("second", checkpoint_exists(prefix))))
+    ck.close()
+
+    assert seen == [("first", True), ("second", True)]
+    # the LAST submitted state is what the prefix holds, byte-equal to sync
+    with open(prefix + ".msgpack", "rb") as f_a, \
+            open(sync_prefix + ".msgpack", "rb") as f_b:
+        assert f_a.read() == f_b.read()
+    restored, cfg2 = load_checkpoint(prefix)
+    assert cfg2 == cfg
+    _trees_equal(restored.params, s2.params)
+
+
+def test_async_checkpointer_error_surfaces(tmp_path):
+    """A writer-thread failure must raise on join(), never pass silently."""
+    import pytest
+
+    from mcseg_tpu.utils.checkpoint import AsyncCheckpointer
+
+    cfg = _exp_cfg()
+    state, _, _ = create_train_state(cfg.model, cfg.train, jax.random.key(0),
+                                     img_shape=HW)
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("file where the checkpoint dir should go")
+    ck = AsyncCheckpointer()
+    ck.save(str(blocker / "ep1"), state, cfg)  # mkdir under a file -> fails
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        ck.join()
+
+
+def test_train_loop_async_default_and_sync_flag(tmp_path):
+    """The loops run async by default (train_source completes with all epoch
+    checkpoints + `last` on disk and loadable) and --sync_checkpoint plumbs
+    through to TrainConfig."""
+    from mcseg_tpu.cli.argparse_compat import (
+        args_to_config,
+        get_da_mcd_training_parser,
+    )
+
+    p = get_da_mcd_training_parser()
+    assert args_to_config(
+        p.parse_args(["synthetic", "synthetic"]), adapt=True
+    ).train.async_checkpoint is True
+    assert args_to_config(
+        p.parse_args(["synthetic", "synthetic", "--sync_checkpoint"]),
+        adapt=True,
+    ).train.async_checkpoint is False
+
+    from mcseg_tpu.train.loops import train_source
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(net="drn_d_22", input_ch=3, n_class=4,
+                          dtype="float32"),
+        data=DataConfig(src_dataset="synthetic", tgt_dataset="synthetic",
+                        batch_size=8, train_img_shape=HW[::-1],
+                        test_img_shape=HW[::-1], max_samples=16),
+        train=TrainConfig(lr=0.01, epochs=2, max_steps=50,
+                          out_dir=str(tmp_path / "run"), log_every=100),
+    )
+    assert cfg.train.async_checkpoint  # the default
+    train_source(cfg, max_iterations=4)  # 16/8 = 2 steps/epoch -> 2 epochs
+    for name in ("ep1", "ep2", "last"):
+        prefix = os.path.join(cfg.train.out_dir, name)
+        assert checkpoint_exists(prefix), name
+        restored, _ = load_checkpoint(prefix)
+        assert restored.params is not None
