@@ -55,6 +55,22 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--keep_checkpoints", type=int, default=0,
                    help="retain only the newest N epoch checkpoints "
                         "(0 = keep all; 'last' is never pruned)")
+    p.add_argument("--spatial_devices", type=int, default=1,
+                   help="shard activation height over this many devices "
+                        "(2-D data x space mesh; 1 = pure data parallel)")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-process job via "
+                        "jax.distributed.initialize() auto-discovery (TPU "
+                        "pod metadata); the mesh then spans every host's "
+                        "chips (parallel/multihost.py)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multihost coordinator address host:port (implies "
+                        "--multihost; pair with --num_processes and "
+                        "--process_id on clusters without auto-discovery)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total process count for --coordinator")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's rank for --coordinator")
     p.add_argument("--sync_checkpoint", action="store_true",
                    help="write epoch checkpoints synchronously instead of "
                         "on the background writer thread")
@@ -214,6 +230,7 @@ def args_to_config(args: argparse.Namespace, adapt: bool) -> ExperimentConfig:
         checkpoint_every_epochs=getattr(args, "checkpoint_every_epochs", 1),
         max_hours=getattr(args, "max_hours", 0.0),
         keep_checkpoints=getattr(args, "keep_checkpoints", 0),
+        spatial_devices=getattr(args, "spatial_devices", 1),
         async_checkpoint=not getattr(args, "sync_checkpoint", False),
     )
     return ExperimentConfig(model=model, data=data, train=train)

@@ -13,14 +13,23 @@ def main(argv=None):
 
     enable_persistent_cache()
     args = get_src_only_training_parser().parse_args(argv)
+    from mcseg_tpu.parallel.multihost import (
+        is_primary,
+        maybe_initialize_from_args,
+    )
+
+    # must run before the first real jax use (multihost no-ops
+    # without the flags)
+    maybe_initialize_from_args(args)
     cfg = args_to_config(args, adapt=False)
     mkdir_if_not_exist(cfg.train.out_dir)
-    save_dic_to_json(cfg.to_dict(), f"{cfg.train.out_dir}/args.json")
+    if is_primary():
+        save_dic_to_json(cfg.to_dict(), f"{cfg.train.out_dir}/args.json")
     from mcseg_tpu.cli._epoch_eval import make_epoch_eval_hook
     from mcseg_tpu.utils.logging import make_run_logger
     from mcseg_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh()
+    mesh = make_mesh(spatial=cfg.train.spatial_devices)
     logger = make_run_logger(cfg.train)
     hook = make_epoch_eval_hook(cfg, mesh, args.eval_every_epochs,
                                 logger=logger)

@@ -150,6 +150,12 @@ class TrainConfig:
     # older ones after each save; 0 = keep all (reference behavior — one
     # checkpoint per epoch forever). `last` is never pruned.
     keep_checkpoints: int = 0
+    # 2-D (data x space) mesh: shard activation HEIGHT over this many
+    # devices in addition to batch data-parallelism (parallel/mesh.py
+    # constrain_spatial — GSPMD inserts conv halo exchanges + cross-shard
+    # BN/loss reductions). 1 = pure data parallel (default). Lets megapixel
+    # geometries train below one image per chip of effective batch.
+    spatial_devices: int = 1
     # epoch checkpoints serialize + write on a background thread
     # (utils/checkpoint.py AsyncCheckpointer) so the train loop never stalls
     # on disk; loops join before returning, and the final `last` save is

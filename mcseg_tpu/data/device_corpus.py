@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mcseg_tpu.data.pipeline import _index_batches, _stack, wire_format
-from mcseg_tpu.parallel.mesh import batch_sharding, replicate
+from mcseg_tpu.parallel.mesh import batch_sharding, replicate, shard_batch
 
 Corpus = Dict[str, jax.Array]
 
@@ -157,10 +157,11 @@ def corpus_stream(
     else:
         src = stage_corpus(dataset, mesh, drop_label=False, n=n)
     gather = _make_gather(mesh)
-    sh = batch_sharding(mesh)
     for idx in _index_batches(n, batch_size, shuffle, seed, drop_last, epochs,
                               start_epoch):
-        didx = jax.device_put(idx.astype(np.int32), sh)
+        # shard_batch (not raw device_put): under multihost each process may
+        # only place its own devices' rows of the index vector
+        didx = shard_batch(mesh, idx.astype(np.int32))
         if zipped:
             yield gather(src, didx), gather(tgt, didx)
         else:

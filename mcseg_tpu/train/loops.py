@@ -26,7 +26,7 @@ from mcseg_tpu.data.labels import get_label_spec
 from mcseg_tpu.data.pipeline import batch_iterator, device_prefetch
 from mcseg_tpu.models.factory import _dtype_of, get_models
 from mcseg_tpu.ops.preprocess import make_train_preprocess
-from mcseg_tpu.parallel.mesh import make_mesh, replicate
+from mcseg_tpu.parallel.mesh import constrain_spatial, make_mesh, replicate
 from mcseg_tpu.train.mcd import make_mcd_step
 from mcseg_tpu.train.source import make_source_step
 from mcseg_tpu.train.state import create_train_state
@@ -40,6 +40,17 @@ from mcseg_tpu.utils.logging import JsonlLogger, StepTimer, make_run_logger
 from mcseg_tpu.utils.util import mkdir_if_not_exist
 
 
+def _spatial(mesh, *arrays):
+    """Apply the 'space'-axis height-sharding hint to every preprocessed
+    input of a train step (no-op on 1-D data-parallel meshes). Placed AFTER
+    preprocessing: the host pipeline and device corpus stay batch-sharded,
+    and GSPMD reshards once here, then propagates H-sharding through the
+    whole network (conv halos, BN/loss cross-shard reductions inserted by
+    the compiler)."""
+    out = tuple(constrain_spatial(mesh, x) for x in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 class _EpochSaver:
     """Epoch-checkpoint policy shared by the three train loops: async by
     default (AsyncCheckpointer — the loop keeps stepping while the msgpack
@@ -51,10 +62,20 @@ class _EpochSaver:
     the resume/preemption contracts are unchanged."""
 
     def __init__(self, cfg: ExperimentConfig, out_dir: str):
+        from mcseg_tpu.parallel.multihost import is_primary
+
         self._cfg, self._out_dir = cfg, out_dir
-        self._async = AsyncCheckpointer() if cfg.train.async_checkpoint else None
+        # multihost: params are replicated + deterministic across processes,
+        # so exactly one process (0) writes; the others no-op here and meet
+        # process 0 at the finish() barrier below
+        self._primary = is_primary()
+        self._async = (AsyncCheckpointer()
+                       if cfg.train.async_checkpoint and self._primary
+                       else None)
 
     def save_epoch(self, epoch: int, state) -> None:
+        if not self._primary:
+            return
         prefix = os.path.join(self._out_dir, f"ep{epoch}")
         prune = functools.partial(prune_epoch_checkpoints, self._out_dir,
                                   self._cfg.train.keep_checkpoints)
@@ -65,10 +86,17 @@ class _EpochSaver:
             prune()
 
     def finish(self, state) -> str:
-        if self._async is not None:
-            self._async.close()
-        return save_checkpoint(
-            os.path.join(self._out_dir, "last"), state, self._cfg)
+        from mcseg_tpu.parallel.multihost import sync
+
+        path = os.path.join(self._out_dir, "last")
+        if self._primary:
+            if self._async is not None:
+                self._async.close()
+            path = save_checkpoint(path, state, self._cfg)
+        # no process exits (possibly tearing down a preempted pod VM) while
+        # process 0 is still flushing the final checkpoint
+        sync("final-checkpoint")
+        return path
 
 
 def _check_finite(metrics, step) -> None:
@@ -205,7 +233,7 @@ def train_source(
     on_epoch_end: Optional[Callable] = None,
 ):
     """Supervised source-only training (reference source_trainer.py)."""
-    mesh = mesh or make_mesh()
+    mesh = mesh or make_mesh(spatial=cfg.train.spatial_devices)
     out_dir = mkdir_if_not_exist(cfg.train.out_dir)
     logger = logger or make_run_logger(cfg.train)
 
@@ -220,7 +248,7 @@ def train_source(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def full_step(state, raw_batch):
         key = jax.random.fold_in(data_key, state.step)
-        img, label = pp(raw_batch, key)
+        img, label = _spatial(mesh, *pp(raw_batch, key))
         return inner(state, img, label)
 
     timer = StepTimer()
@@ -294,7 +322,7 @@ def train_multitask(
                                dtype=_dtype_of(cfg.model))
               if boundary_weight > 0 else None)
 
-    mesh = mesh or make_mesh()
+    mesh = mesh or make_mesh(spatial=cfg.train.spatial_devices)
     out_dir = mkdir_if_not_exist(cfg.train.out_dir)
     logger = logger or make_run_logger(cfg.train)
     tw, th = cfg.data.train_img_shape
@@ -347,9 +375,9 @@ def train_multitask(
         def full_step(state, src_raw, tgt_raw):
             key = jax.random.fold_in(data_key, state.step)
             k_src, k_tgt = jax.random.split(key)
-            xs, ys, ds = pp_src(src_raw, k_src)
+            xs, ys, ds = _spatial(mesh, *pp_src(src_raw, k_src))
             xt, _ = pp_tgt(tgt_raw, k_tgt, remap_table=tgt_remap)
-            return inner(state, xs, ys, ds, xt)
+            return inner(state, xs, ys, ds, _spatial(mesh, xt))
 
     else:
         dataset = get_dataset(cfg.data.src_dataset, cfg.data, cfg.data.split)
@@ -361,7 +389,7 @@ def train_multitask(
         @functools.partial(jax.jit, donate_argnums=(0,))
         def full_step(state, raw):
             key = jax.random.fold_in(data_key, state.step)
-            img, label, ds = pp_src(raw, key)
+            img, label, ds = _spatial(mesh, *pp_src(raw, key))
             return inner(state, img, label, ds)
 
     timer = StepTimer()
@@ -408,7 +436,7 @@ def train_adapt(
 ):
     """MCD adaptation training (reference adapt_trainer.py): zipped
     (source, target) batches through the fused A/B/C step."""
-    mesh = mesh or make_mesh()
+    mesh = mesh or make_mesh(spatial=cfg.train.spatial_devices)
     out_dir = mkdir_if_not_exist(cfg.train.out_dir)
     logger = logger or make_run_logger(cfg.train)
 
@@ -431,9 +459,9 @@ def train_adapt(
     def full_step(state, src_raw, tgt_raw):
         key = jax.random.fold_in(data_key, state.step)
         k_src, k_tgt = jax.random.split(key)
-        xs, ys = pp(src_raw, k_src)
+        xs, ys = _spatial(mesh, *pp(src_raw, k_src))
         xt, _ = pp(tgt_raw, k_tgt, remap_table=tgt_remap)
-        return inner(state, xs, ys, xt)
+        return inner(state, xs, ys, _spatial(mesh, xt))
 
     timer = StepTimer()
     # resumed runs continue the global step in logs/NaN reports

@@ -17,7 +17,15 @@ def make_run_logger(train_cfg) -> "JsonlLogger":
     """The run-directory logging convention (out_dir/train_log.jsonl +
     optional TensorBoard), in ONE place — shared by the CLI entry points
     (which pass the logger to both the loop and the epoch-eval hook) and the
-    loops' fallback, so step logs and eval logs can never split files."""
+    loops' fallback, so step logs and eval logs can never split files.
+
+    Under multihost (parallel/multihost.py) every process computes identical
+    replicated metrics, so only process 0 writes the file/TB stream and
+    echoes to stdout; the rest get a silent no-op logger."""
+    from mcseg_tpu.parallel.multihost import is_primary
+
+    if not is_primary():
+        return JsonlLogger(path=None, echo=False)
     return JsonlLogger(
         path=os.path.join(train_cfg.out_dir, "train_log.jsonl"),
         tb_dir=train_cfg.tb_dir or None,
