@@ -81,3 +81,10 @@ def summarize_run():
 
     m.main()
     return 0
+
+
+def bench_serving():
+    from mcseg_tpu.tools import bench_serving as m
+
+    m.main()
+    return 0

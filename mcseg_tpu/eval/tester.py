@@ -28,6 +28,47 @@ from mcseg_tpu.train.apply import apply_classifier, apply_generator
 from mcseg_tpu.utils.util import mkdir_if_not_exist
 
 
+def _averaged_head_params(f1, params1, f2, params2):
+    """Parameters of the single head equivalent to 0.5*(F1(feat)+F2(feat)).
+
+    The adapted-checkpoint eval protocol averages the two classifiers'
+    LOGITS (SURVEY.md section 3.3). When both heads are plain
+    PixelClassifiers of identical geometry, every op in the head — the 1x1
+    score conv, its bias add, and the fixed bilinear upsample — is linear,
+    so averaging the outputs equals ONE head application with averaged
+    kernel/bias: half the score convs, half the full-resolution logits
+    upsamples and fp32 materializations per eval/serving batch (measured
+    A/B on one v5e chip, DRN-D-38 RGB+HHA 640x480 batch 24 serving graph:
+    463 -> 485 img/s/chip forward-only, tools/bench_serving.py). Averaging
+    happens in fp32 param space (before the bf16 compute cast), exact to
+    fp64 oracle within 1e-12 (tests/test_tester.py). Returns None when the
+    heads are not poolable (late fusion, FCN8s skip decoders) — callers
+    fall back to the two-apply form."""
+    from mcseg_tpu.models.heads import PixelClassifier
+
+    if not (
+        isinstance(f1, PixelClassifier)
+        and isinstance(f2, PixelClassifier)
+        and (f1.n_class, f1.up_factor, f1.upsample, f1.dtype)
+        == (f2.n_class, f2.up_factor, f2.upsample, f2.dtype)
+    ):
+        return None
+    def avg(a, b):
+        # Sum in the promoted (param x compute) dtype: under an fp64
+        # compute oracle the fp32-stored params average exactly; under
+        # bf16/fp32 production compute this is plain fp32 param space.
+        dt = jnp.promote_types(jnp.asarray(a).dtype, f1.dtype)
+        return 0.5 * (jnp.asarray(a, dt) + jnp.asarray(b, dt))
+
+    return {
+        "score": {
+            "kernel": avg(params1["score"]["kernel"],
+                          params2["score"]["kernel"]),
+            "bias": avg(params1["score"]["bias"], params2["score"]["bias"]),
+        }
+    }
+
+
 def make_infer_fn(cfg: ExperimentConfig, average_classifiers: bool = True,
                   out_shape=None):
     """The shared inference core: raw batch -> class logits.
@@ -44,10 +85,18 @@ def make_infer_fn(cfg: ExperimentConfig, average_classifiers: bool = True,
     def infer(params, batch_stats, raw_batch):
         img, label = pp(raw_batch)
         feat, _ = apply_generator(g, params["G"], batch_stats["G"], img, False)
-        logits = apply_classifier(f1, params["F1"], feat, False)
         if average_classifiers:
+            avg = _averaged_head_params(f1, params["F1"], f2, params["F2"])
+        else:
+            avg = None
+        if avg is not None:
+            logits = apply_classifier(f1, avg, feat, False)
+        elif average_classifiers:
+            logits = apply_classifier(f1, params["F1"], feat, False)
             logits2 = apply_classifier(f2, params["F2"], feat, False)
             logits = 0.5 * (logits + logits2)
+        else:
+            logits = apply_classifier(f1, params["F1"], feat, False)
         oh, ow = out_shape if out_shape is not None else label.shape[1:3]
         if (oh, ow) != logits.shape[1:3]:
             from mcseg_tpu.ops.upsample import upsample_matmul

@@ -103,3 +103,64 @@ def test_submit_dir_rejected_for_non_submission_corpus():
     cfg, state, ds = _setup(n_samples=2, bs=2)
     with pytest.raises(ValueError, match="submission"):
         evaluate(state, cfg, ds, print_table=False, submit_dir="/tmp/x")
+
+
+def test_averaged_head_equals_two_apply_fp64():
+    """The pooled eval head (one conv with 0.5*(k1+k2), _averaged_head_params)
+    must equal the protocol's explicit 0.5*(F1(feat)+F2(feat)) — both the
+    score conv and the fixed bilinear upsample are linear, so the rewrite is
+    exact up to fp summation order. fp64 bounds it at 1e-12."""
+    import jax.numpy as jnp
+
+    from mcseg_tpu.eval.tester import _averaged_head_params, make_infer_fn
+    from mcseg_tpu.models.factory import get_models
+    from mcseg_tpu.train.apply import apply_classifier
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = ExperimentConfig(
+            model=ModelConfig(net="drn_d_22", input_ch=3, n_class=40,
+                              dtype="float64"),
+            data=DataConfig(src_dataset="synthetic", tgt_dataset="synthetic",
+                            batch_size=2, train_img_shape=(32, 32),
+                            test_img_shape=(32, 32), input_ch=3,
+                            max_samples=2),
+            train=TrainConfig(),
+        )
+        state, _, _ = create_train_state(cfg.model, cfg.train,
+                                         jax.random.key(0),
+                                         img_shape=(32, 32))
+        # distinct F1/F2: perturb F2 so the average is non-trivial
+        params = jax.device_get(state.params)
+        params["F2"] = jax.tree.map(lambda x: x + 0.01, params["F2"])
+        g, f1, f2 = get_models(cfg.model)
+        avg = _averaged_head_params(f1, params["F1"], f2, params["F2"])
+        assert avg is not None
+        r = np.random.RandomState(0)
+        batch = {
+            "image": r.randint(0, 255, (2, 32, 32, 3)).astype(np.uint8),
+            "label": r.randint(0, 40, (2, 32, 32)).astype(np.uint8),
+        }
+        infer = make_infer_fn(cfg, average_classifiers=True,
+                              out_shape=(32, 32))
+        logits, _, feat = infer(params, state.batch_stats, batch)
+        o1 = apply_classifier(f1, params["F1"], feat, False)
+        o2 = apply_classifier(f2, params["F2"], feat, False)
+        want = 0.5 * (o1 + o2)
+        assert logits.dtype == jnp.float64
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                                   rtol=0, atol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_averaged_head_rejects_mismatched_heads():
+    """Late-fusion / non-PixelClassifier heads must fall back to two-apply."""
+    from mcseg_tpu.core.config import ModelConfig
+    from mcseg_tpu.eval.tester import _averaged_head_params
+    from mcseg_tpu.models.factory import get_models
+
+    cfg_m = ModelConfig(net="drn_d_22", input_ch=6, n_class=40,
+                        dtype="float32", fusion="late")
+    g, f1, f2 = get_models(cfg_m)
+    assert _averaged_head_params(f1, {}, f2, {}) is None
