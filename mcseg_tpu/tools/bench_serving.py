@@ -61,10 +61,6 @@ def main(argv=None):
     )
     state, _, _ = create_train_state(cfg.model, cfg.train, jax.random.key(0),
                                      img_shape=(h, w))
-    if args.no_average:
-        import mcseg_tpu.eval.tester as tester
-
-        tester._averaged_head_params = lambda *a: None
     serve = jax.jit(make_serve_fn(cfg, state.params, state.batch_stats))
 
     r = np.random.RandomState(0)
@@ -75,8 +71,20 @@ def main(argv=None):
         batch["boundary"] = (r.rand(b, h, w) > 0.9).astype(np.uint8)
     batch = jax.device_put(batch)
 
-    out = serve(batch)  # compile + warm
-    jax.block_until_ready(out)
+    import mcseg_tpu.eval.tester as tester
+
+    orig_pool = tester._averaged_head_params
+    if args.no_average:
+        # disable head pooling for the A/B baseline. The override must be
+        # live while jit TRACES the graph — i.e. during the first call —
+        # and is restored right after so in-process callers (tests) don't
+        # inherit it.
+        tester._averaged_head_params = lambda *a: None
+    try:
+        out = serve(batch)  # compile + warm
+        jax.block_until_ready(out)
+    finally:
+        tester._averaged_head_params = orig_pool
     rates = []
     for wi in range(args.windows):
         t0 = time.perf_counter()

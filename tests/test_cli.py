@@ -217,3 +217,26 @@ def test_profile_input_pipeline_tool(tmp_path, capsys):
     # may double-decode a sample before the cache put lands, so assert on
     # the steady-state delta instead of the raw total)
     assert "timed-window decodes: 0" in out
+
+
+def test_bench_serving_tool(capsys):
+    """tools/bench_serving runs the serving graph end to end at a tiny shape
+    and emits the one-line JSON summary; --no_average flips the A/B flag
+    (and the pooled vs two-apply graphs must agree on throughput being a
+    number, not on the rate itself — CPU timing is noise)."""
+    import json
+
+    from mcseg_tpu.tools.bench_serving import main
+
+    main(["--net", "drn_d_22", "--input_ch", "3", "--img_shape", "32", "32",
+          "--batch", "2", "--windows", "1", "--iters", "1"])
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["averaged_head"] is True and rec["value"] > 0
+
+    main(["--net", "drn_d_22", "--input_ch", "3", "--img_shape", "32", "32",
+          "--batch", "2", "--windows", "1", "--iters", "1", "--no_average"])
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    assert json.loads(line)["averaged_head"] is False
