@@ -69,6 +69,11 @@ import json
 import os
 import time
 
+# Persistent XLA compile cache: cold MCD-step compiles cost minutes per
+# geometry; with the cache, repeat bench runs (and the driver's end-of-round
+# capture after a mid-round validation run) recompile nothing.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mcseg_jax_cache")
+
 REFERENCE_PROXY_IMG_PER_SEC_PER_CHIP = 5.0
 
 # bf16 peak FLOP/s per chip by device_kind substring (public TPU specs).
