@@ -164,7 +164,7 @@ def _build_step(mesh, fusion, w, h, b, num_k):
     g, f1, f2 = get_models(model_cfg)
     pp = make_train_preprocess(data_cfg, compute_dtype=jnp.bfloat16)
     _, tgt_remap, _, _ = get_label_spec("nyu")
-    tgt_remap = jnp.asarray(tgt_remap)
+    tgt_remap = np.asarray(tgt_remap)  # host-side trace-time constant
     inner = make_mcd_step(g, f1, f2, tx_g, tx_f, train_cfg)
     data_key = jax.random.key(1)
 
@@ -360,7 +360,7 @@ def main():
     g, f1, f2 = get_models(model_cfg)
     pp = make_train_preprocess(data_cfg, compute_dtype=jnp.bfloat16)
     _, tgt_remap, _, _ = get_label_spec("nyu")
-    tgt_remap = jnp.asarray(tgt_remap)
+    tgt_remap = np.asarray(tgt_remap)  # host-side trace-time constant
     inner = make_mcd_step(g, f1, f2, tx_g, tx_f, train_cfg)
     data_key = jax.random.key(1)
 

@@ -45,6 +45,23 @@ def depth_to_meters(d: jnp.ndarray) -> jnp.ndarray:
     return d.astype(jnp.float32)
 
 
+def _host_table(table) -> np.ndarray:
+    """Coerce a remap table to HOST numpy, refusing device arrays.
+
+    The table is a trace-time constant consumed by ``apply_remap``'s
+    compile-time select chain (np.nonzero below), so it must live on the
+    host. ``np.asarray`` on a committed jax.Array would silently issue a
+    device->host fetch in the middle of tracing — on a tunneled TPU that
+    fetch has been observed to stall for minutes (or hang outright), turning
+    a 1 KB constant into an un-debuggable compile freeze. Fail fast instead."""
+    if isinstance(table, jax.Array):
+        raise TypeError(
+            "remap_table must be host numpy (trace-time constant), got a "
+            "device jax.Array — pass the table from get_label_spec() "
+            "directly instead of jnp.asarray()-ing it")
+    return np.asarray(table)
+
+
 def apply_remap(label_u8: jnp.ndarray, table_np: np.ndarray) -> jnp.ndarray:
     """Label remap as a compare/select chain instead of a table gather.
 
@@ -229,7 +246,7 @@ def make_train_preprocess(
 
     def preprocess(batch: Dict[str, jnp.ndarray], key: jax.Array,
                    remap_table: Optional[np.ndarray] = None):
-        table = remap_src_np if remap_table is None else np.asarray(remap_table)
+        table = remap_src_np if remap_table is None else _host_table(remap_table)
         img_u8 = batch["image"]
         # Unlabeled (target-domain) batches may omit 'label' entirely — the
         # pipeline drops it from the wire since MCD never reads target labels.
@@ -325,7 +342,7 @@ def make_eval_preprocess(cfg: DataConfig) -> Callable:
 
     def preprocess(batch: Dict[str, jnp.ndarray],
                    remap_table: Optional[np.ndarray] = None):
-        table = remap_tbl_np if remap_table is None else np.asarray(remap_table)
+        table = remap_tbl_np if remap_table is None else _host_table(remap_table)
         rgb = batch["image"].astype(jnp.float32) / 255.0
         label = apply_remap(batch["label"], table)
         extra = (_extra_channels(batch, cfg.input_ch, cfg.hha_on_device)

@@ -19,6 +19,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mcseg_tpu.core.config import ExperimentConfig
 from mcseg_tpu.data.datasets import ZipDataset, get_dataset
@@ -365,7 +366,7 @@ def train_multitask(
         tgt = get_dataset(cfg.data.tgt_dataset, cfg.data, cfg.data.split)
         dataset = ZipDataset(src, tgt)
         _, tgt_remap, _, _ = get_label_spec(cfg.data.tgt_dataset)
-        tgt_remap = jnp.asarray(tgt_remap)
+        tgt_remap = np.asarray(tgt_remap)  # host-side trace-time constant
         inner = make_multitask_mcd_step(
             g, f1, f2, d_head, tx_g, tx_f, cfg.train, depth_weight,
             b_head=b_head, boundary_weight=boundary_weight,
@@ -448,7 +449,7 @@ def train_adapt(
     g, f1, f2 = get_models(cfg.model)
     pp = make_train_preprocess(cfg.data, compute_dtype=_dtype_of(cfg.model))
     _, tgt_remap, _, _ = get_label_spec(cfg.data.tgt_dataset)
-    tgt_remap = jnp.asarray(tgt_remap)
+    tgt_remap = np.asarray(tgt_remap)  # host-side trace-time constant
     inner = make_mcd_step(
         g, f1, f2, tx_g, tx_f, cfg.train,
         uses_one_classifier=cfg.model.uses_one_classifier,
