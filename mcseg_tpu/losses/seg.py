@@ -98,7 +98,12 @@ def balanced_bce_2d(
     targets = targets.astype(logits.dtype)
     if valid_mask is None:
         valid_mask = jnp.ones(targets.shape, bool)
-    validf = valid_mask.astype(jnp.float32)
+    # weight math in the LOGITS dtype, not hardcoded fp32: under the fp64
+    # test oracle these are cross-batch reductions, and an fp32 sum's
+    # reassociation noise (~1e-7) between an n-shard psum and the 1-device
+    # order would swamp the sharded-equality bound (production fp32 paths
+    # are unchanged)
+    validf = valid_mask.astype(logits.dtype)
     n_pos = (targets * validf).sum()
     n = jnp.maximum(validf.sum(), 1.0)
     beta = n_pos / n  # positive fraction

@@ -330,6 +330,12 @@ class DRN(nn.Module):
 
 
 _DRN_ZOO = {
+    # drn_d_14 is NOT a published DRN variant: a framework-internal minimal
+    # trunk (one block per residual level) exercising the exact same stage
+    # structure/padding/dilation schedule at ~half the graph size — used by
+    # the multichip dryrun's secondary families and tests to bound cold
+    # XLA compile time (VERDICT r4 #1). Production nets are d_22 and up.
+    "drn_d_14": dict(arch="D", block=BasicBlock, layers=(1, 1, 1, 1, 1, 1, 1, 1)),
     "drn_d_22": dict(arch="D", block=BasicBlock, layers=(1, 1, 2, 2, 2, 2, 1, 1)),
     "drn_d_38": dict(arch="D", block=BasicBlock, layers=(1, 1, 3, 4, 6, 3, 1, 1)),
     "drn_d_54": dict(arch="D", block=Bottleneck, layers=(1, 1, 3, 4, 6, 3, 1, 1)),

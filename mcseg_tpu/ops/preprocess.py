@@ -45,7 +45,7 @@ def depth_to_meters(d: jnp.ndarray) -> jnp.ndarray:
     return d.astype(jnp.float32)
 
 
-def _host_table(table) -> np.ndarray:
+def host_table(table) -> np.ndarray:
     """Coerce a remap table to HOST numpy, refusing device arrays.
 
     The table is a trace-time constant consumed by ``apply_remap``'s
@@ -246,7 +246,7 @@ def make_train_preprocess(
 
     def preprocess(batch: Dict[str, jnp.ndarray], key: jax.Array,
                    remap_table: Optional[np.ndarray] = None):
-        table = remap_src_np if remap_table is None else _host_table(remap_table)
+        table = remap_src_np if remap_table is None else host_table(remap_table)
         img_u8 = batch["image"]
         # Unlabeled (target-domain) batches may omit 'label' entirely — the
         # pipeline drops it from the wire since MCD never reads target labels.
@@ -260,7 +260,17 @@ def make_train_preprocess(
                  if needs_hha else None)
         if extra is not None:
             extra = extra.astype(compute_dtype)
-        dep = depth_to_meters(batch["depth"])[..., None] if with_depth else None
+        # The depth supervision plane interpolates in float64 WHEN ENABLED
+        # (x64 test oracles), rounding back to the float32 wire contract:
+        # its [B,H,W,1] einsum is small enough that XLA CPU emits different
+        # FMA groupings for different batch tilings, so pure-fp32 results
+        # differ in the last bit between an n-shard and a 1-device
+        # executable — fp64 compute puts that noise ~8 decades below the
+        # fp32 rounding step, making the rounded plane layout-invariant.
+        # With x64 disabled (all production configs) float64 IS float32 and
+        # this is a no-op.
+        dep = (depth_to_meters(batch["depth"]).astype(jnp.float64)[..., None]
+               if with_depth else None)
 
         # ---- joint geometry ------------------------------------------------
         h0, w0 = img_u8.shape[1], img_u8.shape[2]
@@ -324,7 +334,8 @@ def make_train_preprocess(
 
         img = _normalize_stack(rgb, extra, cfg.input_ch)
         if with_depth:
-            return img, label, dep[..., 0]
+            # back to the float32 wire contract (see the fp64 note above)
+            return img, label, dep[..., 0].astype(jnp.float32)
         return img, label
 
     return preprocess
@@ -342,7 +353,7 @@ def make_eval_preprocess(cfg: DataConfig) -> Callable:
 
     def preprocess(batch: Dict[str, jnp.ndarray],
                    remap_table: Optional[np.ndarray] = None):
-        table = remap_tbl_np if remap_table is None else _host_table(remap_table)
+        table = remap_tbl_np if remap_table is None else host_table(remap_table)
         rgb = batch["image"].astype(jnp.float32) / 255.0
         label = apply_remap(batch["label"], table)
         extra = (_extra_channels(batch, cfg.input_ch, cfg.hha_on_device)

@@ -13,6 +13,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # flags that legitimately appear in docs but belong to other programs
 _EXTERNAL = {
     "--xla_force_host_platform_device_count",  # XLA env flag
+    "--xla_backend_optimization_level",  # XLA flag (discussed in perf notes)
 }
 
 
