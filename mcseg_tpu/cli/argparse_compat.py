@@ -87,6 +87,9 @@ def _add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--split", default="train")
     p.add_argument("--max_samples", type=int, default=None,
                    help="mini-split truncation (smoke tests)")
+    p.add_argument("--domain_shift", type=float, default=1.0,
+                   help="appearance-shift strength for the synthetic_shifted "
+                        "target corpus (adaptation A/B harness)")
     p.add_argument("--num_workers", type=int, default=4,
                    help="host decode threads (DataLoader num_workers analog)")
     p.add_argument("--no_random_flip", action="store_true")
@@ -206,6 +209,7 @@ def args_to_config(args: argparse.Namespace, adapt: bool) -> ExperimentConfig:
         random_flip=not args.no_random_flip,
         random_crop=not args.no_random_crop,
         max_samples=args.max_samples,
+        domain_shift=getattr(args, "domain_shift", 1.0),
         device_corpus=getattr(args, "device_corpus", "auto"),
         device_corpus_gb=getattr(args, "device_corpus_gb", 4.0),
         decode_cache_gb=getattr(args, "decode_cache_gb", 4.0),

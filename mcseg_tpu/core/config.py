@@ -107,6 +107,14 @@ class DataConfig:
     # per device; stream order is bit-identical to the host pipeline.
     device_corpus: str = "auto"
     device_corpus_gb: float = 4.0
+    # Strength of the controlled appearance shift applied by the
+    # 'synthetic_shifted' corpus (datasets.SyntheticShiftedDataset):
+    # deterministic per-class color rotation + illumination/noise change on
+    # the TARGET domain while geometry and label distribution stay identical
+    # to 'synthetic'. Drives the source-only-vs-MCD adaptation A/B — the
+    # reference's headline behavior (SURVEY.md sections 3.2/6) demonstrated
+    # without real corpora. 0 disables (shifted corpus == clean corpus).
+    domain_shift: float = 1.0
 
     def to_dict(self):
         return _asdict(self)

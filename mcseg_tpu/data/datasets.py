@@ -528,15 +528,69 @@ class SyntheticDataset(SegDataset):
             mask = region > z  # only paint where the box is nearer
             region[mask] = z
             label_raw[y0 : y0 + bh, x0 : x0 + bw][mask] = cls
-        # color = class-dependent base + noise
+        # color = class-dependent base + noise (the shifted target corpus
+        # overrides _appearance to perturb the class->color map)
         base = (np.arange(1, n_cls + 2)[:, None] * np.array([[53, 101, 197]])) % 255
+        base, noise_std = self._appearance(base.astype(np.float64))
         img = base[label_raw].astype(np.float32)
-        img += rng.randn(h, w, 3) * 12.0
+        img += rng.randn(h, w, 3) * noise_std
         img = np.clip(img, 0, 255).astype(np.uint8)
         # a few void pixels
         void = rng.rand(h, w) < 0.01
         label_raw[void] = 0
         return {"image": img, "label": label_raw, "depth": depth}
+
+    def _appearance(self, base: np.ndarray):
+        """(class->color table, noise std) hook for domain-shift variants."""
+        return base, 12.0
+
+
+class SyntheticShiftedDataset(SyntheticDataset):
+    """TARGET-domain twin of :class:`SyntheticDataset` under a controlled,
+    deterministic appearance shift — the harness for demonstrating that MCD
+    adaptation *improves* target mIoU (the reference's headline behavior,
+    SURVEY.md sections 3.2/6) without real corpora.
+
+    Geometry, depth, and the label distribution are IDENTICAL to the clean
+    corpus (scenes differ by a seed offset — the target is a different draw
+    from the same world); only RGB appearance moves, with strength
+    ``DataConfig.domain_shift`` (s):
+
+      * per-class color rotation: each class's base color is blended toward
+        the NEXT class's color (``(1-a)*base + a*roll(base)``,
+        ``a = min(0.40*s, 0.45)``) — pushes every target class toward the
+        source decision boundary between its own color and the next class's
+        (capped BELOW 0.5 so the true class stays nearest: past halfway the
+        shift becomes a label permutation no unsupervised method could
+        resolve);
+      * illumination: per-channel gain ``(1+0.20s, 1-0.15s, 1+0.10s)`` and a
+        ``+14s`` bias;
+      * sensor noise: std ``12 -> 12 + 4s``.
+
+    Depth/HHA channels are untouched, so multichannel configs keep their
+    geometric cue while RGB shifts — mirroring the paper's motivation for
+    fusing modalities under domain gap.
+    """
+
+    corpus = "synthetic_shifted"
+
+    def __init__(self, cfg: DataConfig, split: str = "train", seed: int = 0,
+                 length: int = 64, n_class: Optional[int] = None):
+        # seed offset: target scenes are different instances drawn from the
+        # same distribution as the source (unlabeled-target contract)
+        super().__init__(cfg, split, seed=seed + 7, length=length,
+                         n_class=n_class)
+        self.shift = float(getattr(cfg, "domain_shift", 1.0))
+
+    def _appearance(self, base: np.ndarray):
+        s = self.shift
+        if s <= 0.0:
+            return base, 12.0
+        a = min(0.40 * s, 0.45)
+        base = (1.0 - a) * base + a * np.roll(base, 1, axis=0)
+        gain = np.array([1.0 + 0.20 * s, 1.0 - 0.15 * s, 1.0 + 0.10 * s])
+        base = np.clip(base * gain + 14.0 * s, 0.0, 255.0)
+        return base, 12.0 + 4.0 * s
 
 
 _CORPORA = {
@@ -550,6 +604,7 @@ _CORPORA = {
     "ir": IRDataset,
     "suncg": SUNCGDataset,
     "synthetic": SyntheticDataset,
+    "synthetic_shifted": SyntheticShiftedDataset,
 }
 
 

@@ -141,6 +141,6 @@ def get_label_spec(dataset: str):
         return 19, synthia_to_train_table(), CITYSCAPES_NAMES, CITYSCAPES_PALETTE
     if d in ("city", "cityscapes", "gta", "gta5", "ir"):
         return 19, cityscapes_id_to_train_table(), CITYSCAPES_NAMES, CITYSCAPES_PALETTE
-    if d in ("nyu", "nyudv2", "suncg", "synthetic"):
+    if d in ("nyu", "nyudv2", "suncg", "synthetic", "synthetic_shifted"):
         return 40, nyu40_raw_to_train_table(), NYU40_NAMES, NYU40_PALETTE
     raise ValueError(f"unknown dataset {dataset!r}")
