@@ -33,6 +33,26 @@ def _stack_items(items):
     return _stack(items)
 
 
+def _embed_rows(sub: Dict[str, np.ndarray], rows: np.ndarray,
+                batch: int) -> Dict[str, np.ndarray]:
+    """Scatter a decoded [len(rows), ...] subset into zero-filled full-batch
+    arrays. The untouched rows are never read: multihost placement
+    (mesh._host_put -> make_array_from_callback) materializes only this
+    process's addressable shards, which are exactly ``rows``."""
+    out = {}
+    for k, v in sub.items():
+        full = np.zeros((batch,) + v.shape[1:], v.dtype)
+        full[rows] = v
+        out[k] = full
+    return out
+
+
+def _embed_items(sub, rows: np.ndarray, batch: int):
+    if isinstance(sub, tuple):  # ZipDataset (src, tgt)
+        return tuple(_embed_rows(s, rows, batch) for s in sub)
+    return _embed_rows(sub, rows, batch)
+
+
 def _index_batches(n, batch_size, shuffle, seed, drop_last, epochs,
                    start_epoch=0):
     rng = np.random.RandomState(seed)
@@ -59,6 +79,7 @@ def batch_iterator(
     num_workers: int = 0,
     prefetch_batches: int = 2,
     start_epoch: int = 0,
+    local_rows: Optional[np.ndarray] = None,
 ) -> Iterator:
     """Yield stacked host batches. For ZipDataset items (src, tgt) yields a
     pair of stacked dicts.
@@ -67,6 +88,14 @@ def batch_iterator(
     reproduces epochs [start_epoch, epochs) of the uninterrupted run (the
     reference's adapt_trainer continues its epoch loop at the checkpointed
     epoch the same way), so resume is deterministic end to end.
+
+    ``local_rows`` (multihost, from ``parallel.mesh.local_batch_rows``):
+    decode ONLY these rows of each batch, zero-filling the rest — the
+    sampler still draws the identical global index stream on every process,
+    but per-host decode work drops from O(global batch) to O(local batch).
+    Correctness rests on the placement layer reading only the addressable
+    rows (see ``_embed_rows``); the 2-process bit-equality tests
+    (tests/test_multihost.py) run through this path.
 
     ``num_workers > 1`` decodes samples on a thread pool — the TPU-native
     counterpart of the reference's ``DataLoader(num_workers=N)`` forked
@@ -82,6 +111,16 @@ def batch_iterator(
     idx_iter = _index_batches(n, batch_size, shuffle, seed, drop_last, epochs,
                               start_epoch)
 
+    if local_rows is not None and len(local_rows) >= batch_size:
+        local_rows = None  # every row is local: plain path
+    rows = None if local_rows is None else np.asarray(local_rows)
+
+    def sel(idx):
+        return idx if rows is None else np.asarray(idx)[rows]
+
+    def emb(stacked, batch):
+        return stacked if rows is None else _embed_items(stacked, rows, batch)
+
     # Whole-batch fast path (datasets.get_batch): one ctypes call per plane
     # into the native decoder's own thread pool, decoding straight into the
     # final [N, ...] buffers — no per-sample Python objects, no np.stack copy.
@@ -91,10 +130,11 @@ def batch_iterator(
     if num_workers <= 1:
         if batched is not None:
             for idx in idx_iter:
-                yield batched(idx)
+                yield emb(batched(sel(idx)), len(idx))
         else:
             for idx in idx_iter:
-                yield _stack_items([dataset[int(j)] for j in idx])
+                yield emb(_stack_items([dataset[int(j)] for j in sel(idx)]),
+                          len(idx))
         return
 
     ex = ThreadPoolExecutor(num_workers, thread_name_prefix="mcseg-decode")
@@ -105,18 +145,24 @@ def batch_iterator(
             # inside the call (and releases the GIL), so the pool only needs
             # to keep prefetch_batches decodes in flight
             for idx in idx_iter:
-                pending.append(ex.submit(batched, idx))
+                pending.append((ex.submit(batched, sel(idx)), len(idx)))
                 if len(pending) > prefetch_batches:
-                    yield pending.popleft().result()
+                    f, b = pending.popleft()
+                    yield emb(f.result(), b)
             while pending:
-                yield pending.popleft().result()
+                f, b = pending.popleft()
+                yield emb(f.result(), b)
             return
         for idx in idx_iter:  # each entry: list of per-sample futures
-            pending.append([ex.submit(dataset.__getitem__, int(j)) for j in idx])
+            pending.append(
+                ([ex.submit(dataset.__getitem__, int(j)) for j in sel(idx)],
+                 len(idx)))
             if len(pending) > prefetch_batches:
-                yield _stack_items([f.result() for f in pending.popleft()])
+                fs, b = pending.popleft()
+                yield emb(_stack_items([f.result() for f in fs]), b)
         while pending:
-            yield _stack_items([f.result() for f in pending.popleft()])
+            fs, b = pending.popleft()
+            yield emb(_stack_items([f.result() for f in fs]), b)
     finally:
         try:
             ex.shutdown(wait=False, cancel_futures=True)

@@ -136,6 +136,26 @@ def _host_put(tree, sh: NamedSharding):
     return jax.tree.map(put, tree)
 
 
+def local_batch_rows(mesh: Mesh, global_batch: int):
+    """Rows of a batch-sharded [B, ...] array THIS process materializes.
+
+    ``None`` single-process (= all rows). Under multihost,
+    ``make_array_from_callback`` (``_host_put``) only ever reads the
+    addressable shards' rows, so the host pipeline can skip decoding the
+    rest — turning per-host decode from O(global batch) into O(local batch)
+    (``data/pipeline.py:batch_iterator`` ``local_rows``) while the assembled
+    global array, and therefore the training math, stays bit-identical.
+    """
+    if jax.process_count() == 1:
+        return None
+    sh = batch_sharding(mesh)
+    rows = set()
+    for idx in sh.addressable_devices_indices_map((global_batch,)).values():
+        (sl,) = idx
+        rows.update(range(*sl.indices(global_batch)))
+    return np.asarray(sorted(rows), dtype=np.int64)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host-side pytree of arrays onto the mesh, batch-sharded.
 

@@ -14,15 +14,18 @@ only materialize shards that live on its own chips, so
 materializes exactly its addressable rows of the same deterministic global
 batch), and checkpoint/log writes are gated to process 0.
 
-Design choice — every process runs the SAME sampler RNG and decodes the full
-global batch, then contributes only its local rows. Per-host decode work is
-therefore O(global batch) rather than O(local batch): at v5e host:chip
-ratios (1:4/1:8) and the measured decode tiers (disk-cache assembly ~20x the
-device rate, native decoder ~2.2x on ONE sandbox core) the host stays far
-from the bottleneck, and the data stream is bit-identical to the
-single-process run by construction — the property every fp64 equality test
-in this repo is built on. A local-rows-only decode is a contained future
-optimization inside `batch_iterator` if a corpus ever outruns it.
+Design choice — every process runs the SAME sampler RNG (the data stream is
+bit-identical to the single-process run by construction, the property every
+fp64 equality test in this repo is built on) but decodes ONLY its local
+rows: the train loops pass `parallel.mesh.local_batch_rows(mesh, B)` into
+`data/pipeline.py:batch_iterator(local_rows=...)`, which zero-fills the
+non-local rows — safe because `make_array_from_callback` reads exactly the
+addressable shards' rows. Per-host decode work is therefore O(local batch)
+at any process count (r4 shipped O(global batch); the 2-process
+bit-equality tests now run through the local-rows path). The HBM-resident
+corpus path still stages the full corpus per process at startup — decode
+once, then index-fed steps ship ~no bytes, so its steady state never
+depends on host decode rate.
 
 Usage (one command per host):
 
@@ -57,6 +60,18 @@ def initialize(coordinator: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
+    if jax.process_count() > 1:
+        # Eagerly build the cross-process collective context NOW, while
+        # every process is provably at the same point (initialize() returns
+        # once all processes have joined the coordinator). The context is
+        # otherwise created lazily inside the FIRST collective of the first
+        # jit'd step — whose rendezvous has a ~30 s deadline, while the
+        # processes can arrive minutes apart (one hits a warm XLA compile
+        # cache, another compiles cold), failing the run with
+        # "Gloo context initialization ... GetKeyValue() timed out".
+        # One tiny symmetric all-reduce here makes every later collective
+        # reuse the established context, so compile skew can't kill it.
+        sync("mcseg:collective-context-warmup")
 
 
 def maybe_initialize_from_args(args) -> None:

@@ -26,7 +26,7 @@ from mcseg_tpu.data.datasets import ZipDataset, get_dataset
 from mcseg_tpu.data.labels import get_label_spec
 from mcseg_tpu.data.pipeline import batch_iterator, device_prefetch
 from mcseg_tpu.models.factory import _dtype_of, get_models
-from mcseg_tpu.ops.preprocess import make_train_preprocess
+from mcseg_tpu.ops.preprocess import host_table, make_train_preprocess
 from mcseg_tpu.parallel.mesh import constrain_spatial, make_mesh, replicate
 from mcseg_tpu.train.mcd import make_mcd_step
 from mcseg_tpu.train.source import make_source_step
@@ -171,6 +171,7 @@ def _input_stream(dataset, mesh, cfg: ExperimentConfig, start_epoch: int):
     enabled/fitting, else host decode threads + double-buffered prefetch.
     Both produce the identical sharded batch stream for a given seed."""
     from mcseg_tpu.data.device_corpus import corpus_stream, resolve_device_corpus
+    from mcseg_tpu.parallel.mesh import local_batch_rows
 
     if resolve_device_corpus(cfg.data, dataset):
         return corpus_stream(
@@ -180,7 +181,9 @@ def _input_stream(dataset, mesh, cfg: ExperimentConfig, start_epoch: int):
     return device_prefetch(
         batch_iterator(dataset, cfg.data.batch_size, seed=cfg.train.seed,
                        epochs=cfg.train.epochs, start_epoch=start_epoch,
-                       num_workers=cfg.data.num_workers),
+                       num_workers=cfg.data.num_workers,
+                       # multihost: decode only this process's rows
+                       local_rows=local_batch_rows(mesh, cfg.data.batch_size)),
         mesh,
     )
 
@@ -366,7 +369,7 @@ def train_multitask(
         tgt = get_dataset(cfg.data.tgt_dataset, cfg.data, cfg.data.split)
         dataset = ZipDataset(src, tgt)
         _, tgt_remap, _, _ = get_label_spec(cfg.data.tgt_dataset)
-        tgt_remap = np.asarray(tgt_remap)  # host-side trace-time constant
+        tgt_remap = host_table(tgt_remap)  # host-side trace-time constant
         inner = make_multitask_mcd_step(
             g, f1, f2, d_head, tx_g, tx_f, cfg.train, depth_weight,
             b_head=b_head, boundary_weight=boundary_weight,
@@ -449,7 +452,7 @@ def train_adapt(
     g, f1, f2 = get_models(cfg.model)
     pp = make_train_preprocess(cfg.data, compute_dtype=_dtype_of(cfg.model))
     _, tgt_remap, _, _ = get_label_spec(cfg.data.tgt_dataset)
-    tgt_remap = np.asarray(tgt_remap)  # host-side trace-time constant
+    tgt_remap = host_table(tgt_remap)  # host-side trace-time constant
     inner = make_mcd_step(
         g, f1, f2, tx_g, tx_f, cfg.train,
         uses_one_classifier=cfg.model.uses_one_classifier,
