@@ -109,8 +109,6 @@ def _mem_row(lowered):
 
 
 def run_spatial(w: int, h: int, n_devices: int, net: str, num_k: int):
-    import jax
-
     from mcseg_tpu.parallel.mesh import make_mesh
 
     rows = {}
@@ -136,8 +134,6 @@ def run_spatial(w: int, h: int, n_devices: int, net: str, num_k: int):
 
 
 def run_fit(w: int, h: int, net: str, num_k: int, batches, hbm_gb: float):
-    import jax
-
     from mcseg_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(1)
