@@ -75,6 +75,40 @@ def test_synthetic_dataset_deterministic_and_learnable():
     assert not np.array_equal(a["label"], c["label"])
 
 
+def test_synthetic_shifted_dataset_properties():
+    """The domain-shift harness corpus (tests/test_adaptation_gain.py):
+    deterministic, appearance-only shift, geometry distribution unchanged."""
+    import dataclasses
+
+    from mcseg_tpu.data.datasets import SyntheticShiftedDataset
+
+    cfg = _cfg()
+    shifted = get_dataset("synthetic_shifted", cfg, "train")
+    assert isinstance(shifted, SyntheticShiftedDataset)
+    a, b = shifted[3], shifted[3]
+    np.testing.assert_array_equal(a["image"], b["image"])  # deterministic
+    assert a["image"].dtype == np.uint8
+
+    # same-seed twin: SyntheticDataset at the shifted corpus's seed offset
+    # draws the SAME scene (labels/depth identical) — the shift moves only
+    # the RGB appearance
+    twin = SyntheticDataset(cfg, "train", seed=7)
+    t = twin[3]
+    np.testing.assert_array_equal(a["label"], t["label"])
+    np.testing.assert_array_equal(a["depth"], t["depth"])
+    assert np.abs(a["image"].astype(float) - t["image"].astype(float)).mean() > 10
+
+    # shift strength 0 disables the appearance change entirely
+    cfg0 = dataclasses.replace(cfg, domain_shift=0.0)
+    s0 = get_dataset("synthetic_shifted", cfg0, "train")
+    np.testing.assert_array_equal(s0[3]["image"], t["image"])
+
+    # target scenes are different INSTANCES than the source's (seed offset),
+    # drawn from the same distribution
+    src = get_dataset("synthetic", cfg, "train")
+    assert not np.array_equal(src[3]["label"], a["label"])
+
+
 def test_get_dataset_factory_and_zip():
     cfg = _cfg()
     src = get_dataset("synthetic", cfg, "train")
