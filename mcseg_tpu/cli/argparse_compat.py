@@ -127,7 +127,8 @@ def fix_img_shape_args(shape: Sequence[int]) -> tuple:
 def get_src_only_training_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("source_train",
                                 description="Supervised source-only training")
-    p.add_argument("src_dataset", help="suncg|gta5|nyu|city|synthetic")
+    p.add_argument("src_dataset",
+               help="suncg|gta5|nyu|city|synthia|ir|synthetic|synthetic_shifted")
     _add_model_args(p)
     _add_train_args(p)
     _add_data_args(p)
@@ -136,8 +137,10 @@ def get_src_only_training_parser() -> argparse.ArgumentParser:
 
 def get_da_mcd_training_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("adapt_train", description="MCD UDA training")
-    p.add_argument("src_dataset")
-    p.add_argument("tgt_dataset")
+    p.add_argument("src_dataset", help="labeled source corpus")
+    p.add_argument("tgt_dataset",
+                   help="unlabeled target corpus (synthetic_shifted pairs "
+                        "with synthetic for the adaptation A/B)")
     p.add_argument("--num_k", type=int, default=4,
                    help="generator (step C) updates per iteration")
     p.add_argument("--d_loss", default="diff", choices=["diff", "symkl"])
