@@ -557,12 +557,13 @@ class SyntheticShiftedDataset(SyntheticDataset):
     ``DataConfig.domain_shift`` (s):
 
       * per-class color rotation: each class's base color is blended toward
-        the NEXT class's color (``(1-a)*base + a*roll(base)``,
-        ``a = min(0.40*s, 0.45)``) — pushes every target class toward the
-        source decision boundary between its own color and the next class's
-        (capped BELOW 0.5 so the true class stays nearest: past halfway the
-        shift becomes a label permutation no unsupervised method could
-        resolve);
+        a NEIGHBORING class's color — ``np.roll(base, 1)`` pairs class i
+        with class i-1's color (wrapping), ``(1-a)*base + a*roll(base)``
+        with ``a = min(0.40*s, 0.45)`` — pushing every target class toward
+        the source decision boundary between its own color and that
+        neighbor's (a capped BELOW 0.5 so the true class stays nearest:
+        past halfway the shift becomes a label permutation no unsupervised
+        method could resolve);
       * illumination: per-channel gain ``(1+0.20s, 1-0.15s, 1+0.10s)`` and a
         ``+14s`` bias;
       * sensor noise: std ``12 -> 12 + 4s``.

@@ -116,10 +116,16 @@ def batch_iterator(
     rows = None if local_rows is None else np.asarray(local_rows)
 
     def sel(idx):
-        return idx if rows is None else np.asarray(idx)[rows]
+        # a drop_last=False tail batch is shorter than batch_size; its rows
+        # don't line up with the full-batch sharding, so decode it whole
+        if rows is None or len(idx) < batch_size:
+            return idx
+        return np.asarray(idx)[rows]
 
     def emb(stacked, batch):
-        return stacked if rows is None else _embed_items(stacked, rows, batch)
+        if rows is None or batch < batch_size:
+            return stacked
+        return _embed_items(stacked, rows, batch)
 
     # Whole-batch fast path (datasets.get_batch): one ctypes call per plane
     # into the native decoder's own thread pool, decoding straight into the

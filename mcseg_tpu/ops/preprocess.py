@@ -260,16 +260,19 @@ def make_train_preprocess(
                  if needs_hha else None)
         if extra is not None:
             extra = extra.astype(compute_dtype)
-        # The depth supervision plane interpolates in float64 WHEN ENABLED
-        # (x64 test oracles), rounding back to the float32 wire contract:
-        # its [B,H,W,1] einsum is small enough that XLA CPU emits different
-        # FMA groupings for different batch tilings, so pure-fp32 results
-        # differ in the last bit between an n-shard and a 1-device
+        # The depth supervision plane interpolates in float64 WHEN x64 IS
+        # ENABLED (the fp64 test oracles), rounding back to the float32 wire
+        # contract: its [B,H,W,1] einsum is small enough that XLA CPU emits
+        # different FMA groupings for different batch tilings, so pure-fp32
+        # results differ in the last bit between an n-shard and a 1-device
         # executable — fp64 compute puts that noise ~8 decades below the
         # fp32 rounding step, making the rounded plane layout-invariant.
-        # With x64 disabled (all production configs) float64 IS float32 and
-        # this is a no-op.
-        dep = (depth_to_meters(batch["depth"]).astype(jnp.float64)[..., None]
+        # The explicit x64 check (rather than astype(float64)
+        # unconditionally) avoids the "requested dtype float64 ... will be
+        # truncated" warning on every production (x64-off) trace.
+        dep_dtype = (jnp.float64 if jax.config.jax_enable_x64
+                     else jnp.float32)
+        dep = (depth_to_meters(batch["depth"]).astype(dep_dtype)[..., None]
                if with_depth else None)
 
         # ---- joint geometry ------------------------------------------------

@@ -114,6 +114,9 @@ def run_spatial(w: int, h: int, n_devices: int, net: str, num_k: int):
     rows = {}
     s = 1
     while s <= n_devices:
+        if n_devices % s:
+            s *= 2  # extent doesn't divide the mesh (non-power-of-two n)
+            continue
         # minimum global batch the mesh admits: one image per 'data' row —
         # per-device activations are 1/s of one image's
         batch = max(n_devices // s, 1)
